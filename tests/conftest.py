@@ -1,0 +1,18 @@
+"""Test configuration: force an 8-device virtual CPU mesh before jax imports.
+
+Multi-device tests run on CPU via XLA's host-platform device-count override
+(SURVEY.md §4: the reference has no test suite; this framework creates one,
+with multi-device coverage runnable without TPU hardware).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# Keep matmuls deterministic/high-precision on CPU for oracle comparisons.
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")

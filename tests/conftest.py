@@ -14,5 +14,8 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-# Keep matmuls deterministic/high-precision on CPU for oracle comparisons.
-os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+# Keep matmuls/convs high-precision for oracle comparisons (this JAX build
+# defaults to a low-precision conv/matmul path even on CPU).
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,317 @@
+"""CRW: Contrastive Random Walk model (patch-grid and superpixel nodes).
+
+Parity surface with reference ``code/model.py`` (class CRW):
+
+- ``pixels_to_nodes``  <-> code/model.py:92-123 (patch path)
+- ``image_to_nodes``   <-> code/model.py:260-332 (superpixel path)
+- ``__call__``         <-> code/model.py:334-415 (walk + loss)
+- head (``selfsim_fc``) <-> code/model.py:47-56 (Linear(bias=False)+ReLU MLP)
+
+TPU-first re-design highlights:
+
+- Superpixel pooling is a *segment-weighted einsum*: per-feature-cell
+  superpixel pixel counts -> size-normalized weights -> one MXU matmul
+  ``einsum('bthws,bthwc->btsc')``. The reference gets the same weights via a
+  strided ``view_as_windows`` + broadcast multiply (code/model.py:311-325);
+  the counts here are mathematically identical (window-sum of the one-hot).
+- Superpixel dilation (code/model.py:303-309) uses exact morphological
+  decompositions where possible: an L1 ball of radius r = r iterated unit
+  diamonds (3x3 plus-shaped max-filter); a cross = two separable 1-D
+  max-filters. 'circle' falls back to a depthwise conv like the reference.
+  All operate on the one-hot mask; overlapping dilated superpixels are
+  preserved.
+- The number of superpixel node slots (``max_sp_num``) is **static** (padding
+  + ZeroSoftmax semantics make padded slots exact no-ops; see
+  videowalk_tpu/core/walk.py docstring). The reference computes it per batch
+  (code/train.py:62) — the one deliberate semantic deviation, required by XLA
+  static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from videowalk_tpu.core import walk as walk_lib
+from videowalk_tpu.core.masks import make_dilation_kernel
+from videowalk_tpu.models.encoder import EncoderSpec, make_encoder
+
+
+@dataclasses.dataclass(frozen=True)
+class CRWConfig:
+    """Hyperparameters mirroring the reference's args surface
+    (code/utils/arguments.py:97-256; consumed at code/model.py:14-38)."""
+
+    model_type: str = "scratch"
+    remove_layers: tuple = ()
+    head_depth: int = 0
+    temperature: float = 0.07        # --temp
+    edgedrop_rate: float = 0.0       # --dropout
+    featdrop_rate: float = 0.0       # --featdrop
+    flip: bool = False               # --flip
+    sk_targets: bool = False         # --sk-targets (experimental)
+    zero_diagonal: bool = False      # --zero-diagonal
+    head_bias: bool = False          # CRW: Linear(bias=False); TS variant: True
+    use_zero_softmax: bool = True    # CRW uses ZeroSoftmax; TS plain softmax
+    # Superpixels
+    max_sp_num: int = 48             # static node-slot count (see module doc)
+    dilate_superpixels: bool = False
+    dilation_kernel_shape: str = "L1"   # L1 | cross | circle
+    dilation_kernel_size: int = 51
+    # Compute dtype for the encoder trunk (walk math is always f32).
+    dtype: jnp.dtype = jnp.float32
+
+
+class Head(nn.Module):
+    """``selfsim_fc`` projection head (code/model.py:47-56).
+
+    depth -1 -> identity; depth 0 -> single Linear; depth d -> (d+1) Linears
+    with ReLU between (last ReLU dropped).
+    """
+
+    in_dim: int
+    depth: int = 0
+    out_dim: int = 128
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        if self.depth < 0:
+            return x
+        dims = [self.in_dim] * (self.depth + 1) + [self.out_dim]
+        for i, d2 in enumerate(dims[1:]):
+            x = nn.Dense(d2, use_bias=self.use_bias, name=f"fc{i}")(x)
+            if i < len(dims) - 2:
+                x = nn.relu(x)
+        return x
+
+
+def dilate_onehot(onehot: jax.Array, kernel_size: int, shape: str) -> jax.Array:
+    """Morphological dilation of a one-hot mask stack.
+
+    Args:
+      onehot: ``(..., h, w)`` float 0/1 masks (any leading batch dims).
+      kernel_size: odd structuring-element size (radius = size // 2).
+      shape: 'L1' | 'cross' | 'circle' (code/utils/__init__.py:590-608).
+
+    Returns:
+      Dilated 0/1 masks of the same shape/dtype.
+
+    Reference applies a grouped conv2d with the binary kernel and thresholds
+    >0 (code/model.py:303-309); these decompositions are exact equivalents.
+    """
+    r = kernel_size // 2
+    lead = onehot.shape[:-2]
+    h, w = onehot.shape[-2:]
+    x = onehot.reshape(-1, h, w, 1)
+
+    if shape == "L1":
+        # L1 ball of radius r == r-fold Minkowski sum of the unit diamond:
+        # r iterations of a plus-shaped 3x3 max-filter.
+        def unit_diamond(y):
+            up = jnp.pad(y, ((0, 0), (1, 1), (0, 0), (0, 0)))[:, :-2]
+            down = jnp.pad(y, ((0, 0), (1, 1), (0, 0), (0, 0)))[:, 2:]
+            left = jnp.pad(y, ((0, 0), (0, 0), (1, 1), (0, 0)))[:, :, :-2]
+            right = jnp.pad(y, ((0, 0), (0, 0), (1, 1), (0, 0)))[:, :, 2:]
+            return jnp.maximum(jnp.maximum(jnp.maximum(up, down),
+                                           jnp.maximum(left, right)), y)
+
+        x = jax.lax.fori_loop(0, r, lambda _, y: unit_diamond(y), x)
+    elif shape == "cross":
+        # Cross = union of a horizontal and a vertical segment of length k:
+        # max of two separable 1-D max-filters.
+        xh = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, 1, kernel_size, 1), (1, 1, 1, 1),
+            [(0, 0), (0, 0), (r, r), (0, 0)])
+        xv = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, kernel_size, 1, 1), (1, 1, 1, 1),
+            [(0, 0), (r, r), (0, 0), (0, 0)])
+        x = jnp.maximum(xh, xv)
+    elif shape == "circle":
+        # No exact separable decomposition — depthwise conv with the binary
+        # kernel then threshold, like the reference (code/model.py:308).
+        kernel = make_dilation_kernel(kernel_size, "circle")
+        out = jax.lax.conv_general_dilated(
+            x, kernel[:, :, None, None].astype(x.dtype),
+            window_strides=(1, 1), padding=[(r, r), (r, r)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = (out > 0).astype(onehot.dtype)
+    else:
+        raise ValueError(f"unknown dilation kernel shape: {shape!r}")
+
+    return x.reshape(*lead, h, w).astype(onehot.dtype)
+
+
+def superpixel_pool_weights(
+    sp_mask: jax.Array,
+    max_sp_num: int,
+    feat_hw: tuple[int, int],
+    *,
+    dilate: bool = False,
+    dilation_kernel_size: int = 51,
+    dilation_kernel_shape: str = "L1",
+) -> jax.Array:
+    """Per-feature-cell, size-normalized superpixel pooling weights.
+
+    Args:
+      sp_mask: ``(B, T, h, w)`` int dense superpixel ids in [0, max_sp_num).
+      max_sp_num: static superpixel slot count.
+      feat_hw: feature-map spatial dims (H, W); windows are (h//H, w//W).
+
+    Returns:
+      ``(B, T, H, W, SP)`` f32 weights; column s sums to 1 over (H, W) for
+      present superpixels and is all-zero for absent ones (so pooled features
+      of absent slots are exactly zero — the ZeroSoftmax padding contract).
+
+    Reference: code/model.py:296-320 (one-hot -> optional dilation ->
+    view_as_windows counts -> divide by superpixel size).
+    """
+    B, T, h, w = sp_mask.shape
+    H, W = feat_hw
+    wh, ww = h // H, w // W
+
+    if dilate:
+        # One-hot at pixel resolution (required: dilated masks overlap).
+        onehot = (sp_mask[:, :, None, :, :]
+                  == jnp.arange(max_sp_num)[None, None, :, None, None])
+        onehot = onehot.astype(jnp.float32)
+        onehot = dilate_onehot(onehot, dilation_kernel_size,
+                               dilation_kernel_shape)
+        # Window counts: sum one-hot over each (wh, ww) tile.
+        counts = onehot.reshape(B, T, max_sp_num, H, wh, W, ww).sum((4, 6))
+        counts = jnp.moveaxis(counts, 2, -1)  # (B, T, H, W, SP)
+    else:
+        # Histogram per window without materializing pixel-level one-hot:
+        # compare window-grouped ids against the slot range and reduce.
+        ids = sp_mask.reshape(B, T, H, wh, W, ww)
+        ids = jnp.moveaxis(ids, 3, 4).reshape(B, T, H, W, wh * ww)
+        counts = jnp.sum(
+            ids[..., None] == jnp.arange(max_sp_num)[None, None, None, None, None, :],
+            axis=-2, dtype=jnp.float32)  # (B, T, H, W, SP)
+
+    sp_size = counts.sum(axis=(2, 3), keepdims=True)  # (B, T, 1, 1, SP)
+    return counts / (sp_size + walk_lib.EPS)
+
+
+class CRW(nn.Module):
+    """Contrastive Random Walk model (reference code/model.py:14).
+
+    Call patterns (layouts are TPU-native NHWC):
+      patches:     ``__call__(x)`` with x ``(B, T, N, h, w, 3)``
+      superpixels: ``__call__(x, sp_mask=ids)`` with x ``(B, T, h, w, 3)``
+                   and ids ``(B, T, h, w)`` int32
+      features only: ``__call__(x, just_feats=True)`` -> (q, maps)
+
+    Returns ``(q, loss, diags)`` like the reference forward
+    (code/model.py:334-415).
+    """
+
+    cfg: CRWConfig
+
+    def setup(self):
+        self.spec: EncoderSpec = make_encoder(
+            self.cfg.model_type, self.cfg.remove_layers, dtype=self.cfg.dtype)
+        self.encoder = self.spec.module
+        self.selfsim_fc = Head(
+            in_dim=self.spec.hid_dim, depth=self.cfg.head_depth,
+            use_bias=self.cfg.head_bias, name="head")
+
+    def _featdrop(self, maps, train):
+        if train and self.cfg.featdrop_rate > 0:
+            maps = nn.Dropout(rate=self.cfg.featdrop_rate, deterministic=False)(
+                maps, rng=self.make_rng("dropout"))
+        return maps
+
+    def _project(self, feats):
+        """Head + L2-normalize along channels (code/model.py:117-118)."""
+        feats = self.selfsim_fc(feats)
+        return walk_lib.l2_normalize(feats, axis=-1)
+
+    def pixels_to_nodes(self, x, train: bool):
+        """Patch clips -> node embeddings.
+
+        Args:
+          x: ``(B, T, N, h, w, 3)`` patch grid per frame.
+        Returns:
+          q ``(B, C, T, N)``, maps ``(B, T, N, H, W, C)``.
+
+        Reference: code/model.py:92-123 (folds B*N into the encoder batch,
+        spatial-mean pools, projects, L2-normalizes).
+        """
+        B, T, N = x.shape[:3]
+        xx = jnp.swapaxes(x, 1, 2).reshape(B * N, T, *x.shape[3:])
+        maps = self.encoder(xx, train=train)           # (B*N, T, H, W, C)
+        maps = self._featdrop(maps, train)
+        feats = maps.mean(axis=(2, 3))                  # (B*N, T, C)
+        feats = self._project(feats)                    # (B*N, T, 128)
+        q = feats.reshape(B, N, T, -1).transpose(0, 3, 2, 1)  # (B, C, T, N)
+        maps = maps.reshape(B, N, T, *maps.shape[2:]).swapaxes(1, 2)
+        return q, maps
+
+    def whole_image_to_nodes(self, x, train: bool):
+        """Whole frames -> one node per feature cell (reference N==1 branch,
+        code/model.py:110-113; used by the evaluator).
+
+        Args:
+          x: ``(B, T, h, w, 3)``.
+        Returns:
+          q ``(B, C, T, HW)``, maps ``(B, T, H, W, C)``.
+        """
+        maps = self.encoder(x, train=train)             # (B, T, H, W, C)
+        maps = self._featdrop(maps, train)
+        B, T, H, W, C = maps.shape
+        feats = self._project(maps.reshape(B, T, H * W, C))
+        return feats.transpose(0, 3, 1, 2), maps
+
+    def image_to_nodes(self, x, sp_mask, train: bool):
+        """Frames + superpixel ids -> superpixel node embeddings.
+
+        Args:
+          x: ``(B, T, h, w, 3)``; sp_mask: ``(B, T, h, w)`` int ids.
+        Returns:
+          q ``(B, C, T, SP)``, maps ``(B, T, H, W, C)``.
+
+        Reference: code/model.py:260-332. Pooling is the segment-weighted
+        einsum described in the module docstring.
+        """
+        maps = self.encoder(x, train=train)             # (B, T, H, W, C)
+        maps = self._featdrop(maps, train)
+        H, W = maps.shape[2], maps.shape[3]
+        weights = superpixel_pool_weights(
+            sp_mask, self.cfg.max_sp_num, (H, W),
+            dilate=self.cfg.dilate_superpixels,
+            dilation_kernel_size=self.cfg.dilation_kernel_size,
+            dilation_kernel_shape=self.cfg.dilation_kernel_shape)
+        sp_feats = jnp.einsum(
+            "bthws,bthwc->btsc", weights, maps.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)         # (B, T, SP, C)
+        sp_feats = self._project(sp_feats)
+        return sp_feats.transpose(0, 3, 1, 2), maps     # (B, C, T, SP)
+
+    @nn.compact
+    def __call__(self, x, sp_mask=None, just_feats: bool = False,
+                 train: bool = True):
+        if sp_mask is not None:
+            q, maps = self.image_to_nodes(x, sp_mask, train)
+        elif x.ndim == 6:
+            q, maps = self.pixels_to_nodes(x, train)
+        else:
+            q, maps = self.whole_image_to_nodes(x, train)
+
+        if just_feats:
+            return q, maps
+
+        key = (self.make_rng("dropout")
+               if train and self.cfg.edgedrop_rate > 0 else None)
+        loss, diags = walk_lib.crw_walk_loss(
+            q, self.cfg.temperature,
+            key=key,
+            edgedrop_rate=self.cfg.edgedrop_rate if train else 0.0,
+            flip=self.cfg.flip,
+            use_zero_softmax=self.cfg.use_zero_softmax)
+        return q, loss, diags

@@ -1,0 +1,121 @@
+"""Encoder factory: model-type registry + 2D->3D time folding.
+
+Mirrors the reference factory (code/utils/__init__.py:300-351) and `From3D`
+(code/utils/__init__.py:285-297). Pretrained-checkpoint model types
+(imagenet18/50, moco50, timecycle, uvc) are supported through the .pth import
+shim in ``videowalk_tpu.utils.checkpoint`` when a local checkpoint file is
+available (this environment has no network; the reference downloads them).
+
+Layout: the framework is NHWC end-to-end (TPU-native). Video tensors are
+``(B, T, H, W, C)``; `From3D` folds T into the batch axis — a free reshape in
+XLA, versus the reference's permute+contiguous copy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from videowalk_tpu.models.resnet import ResNet, resnet18, resnet50
+
+
+class From3D(nn.Module):
+    """Use a 2D convnet as a 3D convnet by folding time into batch.
+
+    Reference: code/utils/__init__.py:285-297. Input ``(B, T, H, W, C)``;
+    output ``(B, T, H', W', C')``.
+    """
+
+    model: nn.Module
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, T = x.shape[0], x.shape[1]
+        xx = x.reshape(B * T, *x.shape[2:])
+        m = self.model(xx, train=train)
+        return m.reshape(B, T, *m.shape[1:])
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderSpec:
+    """An encoder module plus its statically-known output geometry.
+
+    Replaces the reference's runtime ``infer_dims`` dummy forward
+    (code/model.py:40-45) — under XLA these are compile-time constants.
+    """
+
+    module: From3D
+    hid_dim: int
+    map_scale: int  # input px per output feature px (8 for the encoder default)
+    pretrained_path: str | None = None  # .pth to partial-load after init
+
+    def init_params(self, rng: jax.Array, img_size: int = 256) -> dict:
+        dummy = jnp.zeros((1, 1, img_size, img_size, 3), jnp.float32)
+        return self.module.init(rng, dummy, train=False)
+
+
+def _map_scale(trunk: ResNet) -> int:
+    """Total spatial downscale: stem(2) * maxpool(2) * prod(stage strides)."""
+    scale = 4
+    for i, s in enumerate(trunk.stage_strides):
+        if f"layer{i + 1}" not in trunk.remove_layers:
+            scale *= s
+    return scale
+
+
+def make_encoder(
+    model_type: str = "scratch",
+    remove_layers: Sequence[str] = (),
+    dtype: Any = jnp.float32,
+    pretrained_path: str | None = None,
+) -> EncoderSpec:
+    """Build an encoder by reference model-type name.
+
+    Supported (reference code/utils/__init__.py:300-351):
+      scratch          ResNet-18, reflect padding, stride-1 layer3/4
+      scratch_zeropad  ResNet-18, zero padding
+      scratch50        ResNet-50, reflect padding
+      imagenet18/50    ResNet-18/50, zero padding, ImageNet weights from
+                       ``pretrained_path`` (.pth)
+      moco50 / timecycle / uvc
+                       ResNet-50/50/18 with weights imported from local
+                       .pth/.pth.tar via the checkpoint shim
+    (`r3d_18`/`r2plus1d_18` are dead in the reference — not constructible
+    there either; see SURVEY.md §2 row 2.)
+    """
+    remove_layers = tuple(remove_layers)
+    needs_ckpt = None
+    if model_type == "scratch":
+        trunk = resnet18("reflect", remove_layers, dtype=dtype)
+    elif model_type == "scratch_zeropad":
+        trunk = resnet18("zeros", remove_layers, dtype=dtype)
+    elif model_type == "scratch50":
+        trunk = resnet50("reflect", remove_layers, dtype=dtype)
+    elif model_type == "imagenet18":
+        trunk = resnet18("zeros", remove_layers, dtype=dtype)
+        needs_ckpt = "imagenet resnet18 .pth"
+    elif model_type in ("imagenet50", "moco50", "timecycle"):
+        trunk = resnet50("zeros", remove_layers, dtype=dtype)
+        needs_ckpt = f"{model_type} .pth"
+    elif model_type == "uvc":
+        trunk = resnet18("zeros", remove_layers, dtype=dtype)
+        needs_ckpt = "uvc .pth.tar"
+    else:
+        raise ValueError(f"invalid model_type: {model_type!r}")
+
+    if needs_ckpt and not pretrained_path:
+        raise ValueError(
+            f"model_type={model_type!r} needs a local checkpoint "
+            f"({needs_ckpt}); pass pretrained_path= (no network access here; "
+            f"the reference downloads these at code/utils/__init__.py:313-330)")
+
+    return EncoderSpec(
+        module=From3D(model=trunk),
+        hid_dim=trunk.hid_dim,
+        map_scale=_map_scale(trunk),
+        pretrained_path=pretrained_path,
+    )

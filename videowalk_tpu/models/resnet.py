@@ -1,0 +1,232 @@
+"""flax ResNet-18/50 encoder with the reference's `modify()` semantics.
+
+Functional re-design of the reference's torchvision subclass
+(code/resnet.py:17-73):
+
+- ``modify(remove_layers=..., padding=...)`` is not mutation here — the same
+  knobs are constructor fields (`strides`, `padding_mode`, `remove_layers`),
+  since flax modules are immutable pytree definitions.
+- stride-1 layer3/4 (code/resnet.py:21-29): every conv in those stages gets
+  stride 1, including the 1x1 projection, so 256^2 inputs yield 32x32 maps.
+- reflect padding (code/resnet.py:30-36): all spatially-padded convs switch to
+  reflect; implemented as an explicit `jnp.pad(mode='reflect')` + VALID conv,
+  which XLA fuses into the conv HLO.
+- `fc`/`avgpool` never exist (always stripped in the reference,
+  code/resnet.py:38-41); `remove_layers` drops whole stages (the reference's
+  test config removes `layer4`, code/utils/arguments.py:59-60).
+
+TPU-first choices: NHWC layout (TPU-native), bf16-capable compute dtype with
+f32 params/batch-stats, BatchNorm with torch-matching eps/momentum so .pth
+checkpoints round-trip bit-exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+# torch BatchNorm2d defaults: eps=1e-5, momentum=0.1 (i.e. running stats decay
+# 0.9). flax's `momentum` is the decay factor itself.
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.9
+
+
+def _pad_conv(
+    x: jax.Array,
+    features: int,
+    kernel: int,
+    stride: int,
+    padding: int,
+    padding_mode: str,
+    name: str,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Conv2D with torch-style explicit padding (zeros or reflect).
+
+    Reflect padding cannot be expressed in the conv op itself, so pad first
+    and run the conv VALID; XLA folds the zero-pad case back into the conv.
+    """
+    if padding > 0:
+        if padding_mode == "reflect":
+            x = jnp.pad(
+                x, ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+                mode="reflect")
+            conv_padding = "VALID"
+        else:
+            conv_padding = [(padding, padding), (padding, padding)]
+    else:
+        conv_padding = "VALID"
+    return nn.Conv(
+        features, (kernel, kernel), strides=(stride, stride),
+        padding=conv_padding, use_bias=False, dtype=dtype, name=name)(x)
+
+
+def _batch_norm(x, train: bool, name: str, dtype=jnp.float32):
+    """BatchNorm2d with torch defaults (eps/momentum), named for .pth keys."""
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=dtype, name=name)(x)
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3 convs + identity/projection shortcut (ResNet-18/34 block).
+
+    Mirrors torchvision BasicBlock semantics as used by the reference
+    (code/resnet.py:8-9 imports it from torchvision).
+    """
+
+    filters: int
+    stride: int = 1
+    padding_mode: str = "zeros"
+    use_projection: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    expansion = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        residual = x
+        y = _pad_conv(x, self.filters, 3, self.stride, 1, self.padding_mode,
+                      "conv1", self.dtype)
+        y = _batch_norm(y, train, "bn1", self.dtype)
+        y = nn.relu(y)
+        y = _pad_conv(y, self.filters, 3, 1, 1, self.padding_mode,
+                      "conv2", self.dtype)
+        y = _batch_norm(y, train, "bn2", self.dtype)
+        if self.use_projection:
+            residual = _pad_conv(x, self.filters, 1, self.stride, 0,
+                                 self.padding_mode, "downsample_conv",
+                                 self.dtype)
+            residual = _batch_norm(residual, train, "downsample_bn", self.dtype)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1 bottleneck (ResNet-50 block), torchvision semantics
+    (stride on the 3x3, expansion 4)."""
+
+    filters: int
+    stride: int = 1
+    padding_mode: str = "zeros"
+    use_projection: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    expansion = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        residual = x
+        y = _pad_conv(x, self.filters, 1, 1, 0, self.padding_mode,
+                      "conv1", self.dtype)
+        y = _batch_norm(y, train, "bn1", self.dtype)
+        y = nn.relu(y)
+        y = _pad_conv(y, self.filters, 3, self.stride, 1, self.padding_mode,
+                      "conv2", self.dtype)
+        y = _batch_norm(y, train, "bn2", self.dtype)
+        y = nn.relu(y)
+        y = _pad_conv(y, self.filters * 4, 1, 1, 0, self.padding_mode,
+                      "conv3", self.dtype)
+        y = _batch_norm(y, train, "bn3", self.dtype)
+        if self.use_projection:
+            residual = _pad_conv(x, self.filters * 4, 1, self.stride, 0,
+                                 self.padding_mode, "downsample_conv",
+                                 self.dtype)
+            residual = _batch_norm(residual, train, "downsample_bn", self.dtype)
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    """ResNet encoder trunk (stem + 4 stages, no fc/avgpool).
+
+    Args mirror the reference's post-`modify()` state (code/resnet.py:21-54):
+
+    - ``stage_strides``: per-stage first-block stride. The encoder default
+      ``(1, 2, 1, 1)`` is torchvision's ``(1, 2, 2, 2)`` after `modify()`
+      sets layer3/4 stride to 1.
+    - ``padding_mode``: 'zeros' | 'reflect'.
+    - ``remove_layers``: stage names to drop entirely ('layer1'..'layer4').
+
+    Input/Output: NHWC. 256x256 input -> 32x32 map (map_scale 8) with the
+    encoder defaults, matching the reference's infer_dims (code/model.py:40-45).
+    """
+
+    block_cls: type = BasicBlock
+    stage_sizes: Sequence[int] = (2, 2, 2, 2)
+    stage_strides: Sequence[int] = (1, 2, 1, 1)
+    padding_mode: str = "zeros"
+    remove_layers: Sequence[str] = ()
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def hid_dim(self) -> int:
+        """Output channel count (reference CRW.infer_dims, code/model.py:40-45)."""
+        widths = [64, 128, 256, 512]
+        kept = [i for i in range(4) if f"layer{i + 1}" not in self.remove_layers]
+        last = kept[-1] if kept else None
+        if last is None:
+            return 64
+        return widths[last] * self.block_cls.expansion
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # Stem: 7x7/2 conv + BN + relu + 3x3/2 maxpool (torchvision).
+        x = _pad_conv(x, 64, 7, 2, 3, self.padding_mode, "conv1", self.dtype)
+        x = _batch_norm(x, train, "bn1", self.dtype)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        widths = [64, 128, 256, 512]
+        in_features = 64
+        for stage in range(4):
+            name = f"layer{stage + 1}"
+            if name in self.remove_layers:
+                continue
+            filters = widths[stage]
+            out_features = filters * self.block_cls.expansion
+            for blk in range(self.stage_sizes[stage]):
+                stride = self.stage_strides[stage] if blk == 0 else 1
+                use_projection = (stride != 1) or (in_features != out_features)
+                x = self.block_cls(
+                    filters=filters, stride=stride,
+                    padding_mode=self.padding_mode,
+                    use_projection=use_projection,
+                    dtype=self.dtype,
+                    name=f"{name}_{blk}")(x, train)
+                in_features = out_features
+        return x
+
+
+def _encoder_strides(modify_stride: bool) -> tuple[int, int, int, int]:
+    """torchvision strides (1,2,2,2); `modify()` flattens layer3/4 to 1."""
+    return (1, 2, 1, 1) if modify_stride else (1, 2, 2, 2)
+
+
+def resnet18(
+    padding_mode: str = "zeros",
+    remove_layers: Sequence[str] = (),
+    modify_stride: bool = True,
+    dtype=jnp.float32,
+) -> ResNet:
+    """ResNet-18 trunk (reference ctor code/resnet.py:66-68 + modify)."""
+    return ResNet(
+        block_cls=BasicBlock, stage_sizes=(2, 2, 2, 2),
+        stage_strides=_encoder_strides(modify_stride),
+        padding_mode=padding_mode, remove_layers=tuple(remove_layers),
+        dtype=dtype)
+
+
+def resnet50(
+    padding_mode: str = "zeros",
+    remove_layers: Sequence[str] = (),
+    modify_stride: bool = True,
+    dtype=jnp.float32,
+) -> ResNet:
+    """ResNet-50 trunk (reference ctor code/resnet.py:71-73 + modify)."""
+    return ResNet(
+        block_cls=Bottleneck, stage_sizes=(3, 4, 6, 3),
+        stage_strides=_encoder_strides(modify_stride),
+        padding_mode=padding_mode, remove_layers=tuple(remove_layers),
+        dtype=dtype)

@@ -1,0 +1,123 @@
+"""Benchmark: clips/sec/chip on the 8-frame palindrome CRW train step.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Config matches BASELINE.json config 2 ("patch-grid CRW at scale: 8-frame
+palindromes, edge dropout, batch 32") scaled per chip. The reference repo
+publishes no throughput number (BASELINE.md: the `clips/s` meter exists but
+no value is recorded), so ``vs_baseline`` is measured against the recorded
+round-1 baseline in ``BENCH_BASELINE.json`` (written on first run) — it
+tracks this framework's perf progression across rounds.
+
+Measurement: this dev environment reaches the TPU through a tunnel with
+~25 ms fixed dispatch+fetch latency, so K train steps run inside ONE jitted
+``lax.fori_loop`` and throughput is the difference quotient between a K1-step
+and a K2-step call (cancels the fixed tunnel cost and measures pure on-chip
+step time).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import partial
+
+import numpy as np
+
+BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
+
+# Flagship bench config: 8-frame palindrome, 7x7 grid of 64px patches
+# (the reference's default --patch-size 64 on 256px frames), edge dropout
+# 0.1, temp 0.05 (code/train.sh:15-22; BASELINE.json asks for 8-frame).
+CLIP_LEN = 8
+N_PATCHES = 49
+PATCH = 64
+BATCH = 8
+K1, K2 = 2, 12
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from videowalk_tpu.models import CRW, CRWConfig
+    from videowalk_tpu.parallel import create_train_state, make_optimizer
+
+    model = CRW(CRWConfig(model_type="scratch", temperature=0.05,
+                          edgedrop_rate=0.1, dtype=jnp.bfloat16))
+    optimizer = make_optimizer(lr=3e-4)
+
+    rng = np.random.RandomState(0)
+    batch = jnp.asarray(
+        rng.randn(BATCH, CLIP_LEN, N_PATCHES, PATCH, PATCH, 3)
+        .astype(np.float32))
+
+    state = create_train_state(model, optimizer, batch[:1],
+                               jax.random.PRNGKey(0))
+
+    def one_step(state, batch, key):
+        def loss_fn(params, batch_stats):
+            (q, loss, diags), upd = model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch,
+                train=True, rngs={"dropout": key}, mutable=["batch_stats"])
+            return loss, upd.get("batch_stats", batch_stats)
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        import optax
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(params=params, batch_stats=new_stats,
+                             opt_state=opt_state, step=state.step + 1), loss
+
+    @partial(jax.jit, static_argnums=(2,))
+    def run_k(state, key, k):
+        def body(i, carry):
+            st, _ = carry
+            st, loss = one_step(st, batch, jax.random.fold_in(key, i))
+            return st, loss
+
+        return jax.lax.fori_loop(0, k, body, (state, jnp.float32(0)))
+
+    key = jax.random.PRNGKey(1)
+
+    def timed(k):
+        t0 = time.perf_counter()
+        st, loss = run_k(state, key, k)
+        _ = float(loss)  # force the tunnel round trip
+        return time.perf_counter() - t0, float(loss)
+
+    timed(K1)  # compile both variants
+    timed(K2)
+    t1, loss1 = timed(K1)
+    t2, loss2 = timed(K2)
+    assert np.isfinite(loss2), f"non-finite bench loss {loss2}"
+
+    step_time = (t2 - t1) / (K2 - K1)
+    n_chips = max(1, len(jax.devices()))
+    clips_per_sec_per_chip = BATCH / step_time / n_chips
+
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            baseline = json.load(f)["value"]
+    else:
+        baseline = clips_per_sec_per_chip
+        with open(BASELINE_FILE, "w") as f:
+            json.dump({"metric": "clips/sec/chip",
+                       "value": clips_per_sec_per_chip,
+                       "note": "round-1 recorded baseline (reference "
+                               "publishes no number; see BASELINE.md)"}, f)
+
+    print(json.dumps({
+        "metric": "clips/sec/chip (8-frame palindrome CRW train step, "
+                  "batch %d, 7x7x64px patches)" % BATCH,
+        "value": round(clips_per_sec_per_chip, 3),
+        "unit": "clips/s/chip",
+        "vs_baseline": round(clips_per_sec_per_chip / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -19,3 +19,6 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+# The env var JAX_PLATFORMS is shadowed by the axon TPU plugin in this image;
+# the config API reliably selects the virtual 8-device CPU platform.
+jax.config.update("jax_platforms", "cpu")

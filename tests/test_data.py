@@ -1,0 +1,219 @@
+"""Data layer tests: superpixels (host/device/FH), augs, clip index, datasets."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from videowalk_tpu.data import (
+    DataLoader, Kinetics400, RandomClipSampler, VideoClipIndex, VideoList,
+    compute_mask, compute_sp_FH, compute_sp_slic)
+from videowalk_tpu.data.augs import (
+    IMG_MEAN, IMG_STD, TrainTransform, normalize, patch_grid,
+    random_resized_crop)
+from videowalk_tpu.data.clips import resample_idx
+from videowalk_tpu.ops import slic
+
+
+def quadrant_image(h=128, w=128, noise=0.05, seed=0):
+    rng = np.random.RandomState(seed)
+    img = np.zeros((h, w, 3), np.float32)
+    img[:h // 2, :w // 2] = [1, 0, 0]
+    img[:h // 2, w // 2:] = [0, 1, 0]
+    img[h // 2:, :w // 2] = [0, 0, 1]
+    img[h // 2:, w // 2:] = [1, 1, 0]
+    return img + rng.rand(h, w, 3).astype(np.float32) * noise
+
+
+# ------------------------------------------------------------- superpixels
+
+
+def test_device_slic_matches_host():
+    img = quadrant_image()
+    from videowalk_tpu.data.superpixels import _normalize_uint8
+
+    x = _normalize_uint8(img).astype(np.float32) / 255.0
+    d = np.asarray(slic(jnp.asarray(x[None]), 16, 30.0))[0]
+    n = compute_sp_slic(img, 16, 30.0, enforce_connectivity=False)
+    agree = sum(np.unique(n[d == k], return_counts=True)[1].max()
+                for k in np.unique(d))
+    assert agree / d.size > 0.98
+
+
+def test_device_slic_n_active():
+    """Static-shape equivalent of --randomise-superpixels."""
+    img = quadrant_image()
+    x = jnp.asarray(np.stack([img, img]))
+    labels = np.asarray(slic(x, 16, 30.0, 10, True, jnp.asarray([16, 7])))
+    assert labels[1].max() <= 6
+    assert len(np.unique(labels[1])) <= 7
+
+
+def test_host_slic_numpy_native_agree():
+    from videowalk_tpu.data.superpixels import (
+        _normalize_uint8, _rgb_to_lab_f32, _slic_numpy)
+
+    img = quadrant_image(64, 64)
+    lab = _rgb_to_lab_f32(_normalize_uint8(img))
+    nseg = _slic_numpy(lab, 9, 30.0)
+    cseg = compute_sp_slic(img, 9, 30.0, enforce_connectivity=False)
+    assert (nseg == cseg).mean() == 1.0
+
+
+def test_fh_segments_structured_image():
+    img = quadrant_image(noise=0.02)
+    seg = compute_sp_FH(img, scale=600.0, sigma=0.5, min_size=400)
+    ids = np.unique(seg)
+    assert 2 <= len(ids) <= 8
+    # min_size respected
+    assert np.bincount(seg.ravel()).min() >= 400
+
+
+def test_compute_mask_reference_layout():
+    """(T, 3, H, W) int mask, ids replicated on 3 channels
+    (code/data/superpixels.py:59-62)."""
+    video = np.moveaxis(quadrant_image()[None].repeat(3, 0), -1, 1)
+    mask = compute_mask(video, "slic", 12, 1.0, False, 10, 30.0,
+                        rng=np.random.RandomState(0))
+    assert mask.shape == (3, 3, 128, 128)
+    np.testing.assert_array_equal(mask[:, 0], mask[:, 1])
+
+
+def test_compute_mask_randomised_counts():
+    video = np.moveaxis(quadrant_image()[None].repeat(2, 0), -1, 1)
+    mask = compute_mask(video, "slic", 12, 1.0, True, 8, 30.0,
+                        rng=np.random.RandomState(3))
+    assert mask.max() < 12 + 4  # ids bounded by randomized high end
+
+
+# -------------------------------------------------------------------- augs
+
+
+def test_normalize_stats():
+    x = np.random.RandomState(0).rand(8, 8, 3).astype(np.float32)
+    n = normalize(x)
+    np.testing.assert_allclose(
+        n, (x - np.asarray(IMG_MEAN, np.float32))
+        / np.asarray(IMG_STD, np.float32), atol=1e-5)
+
+
+def test_random_resized_crop_shape_and_range():
+    rng = np.random.RandomState(0)
+    img = rng.rand(100, 140, 3).astype(np.float32)
+    for _ in range(5):
+        out = random_resized_crop(rng, img, 64, (0.8, 0.95), (0.7, 1.3))
+        assert out.shape == (64, 64, 3)
+        assert out.min() >= 0 and out.max() <= 1
+
+
+def test_patch_grid_49_patches():
+    """256px frame, 64px patches, stride .5*64=32 -> 7x7=49 patches
+    (the reference's default geometry; code/utils/augs.py:59-61)."""
+    rng = np.random.RandomState(0)
+    frame = rng.rand(256, 256, 3).astype(np.float32)
+    patches = patch_grid(rng, frame)
+    assert patches.shape == (49, 64, 64, 3)
+
+
+def test_train_transform_triple_aligned():
+    rng = np.random.RandomState(0)
+    vid = (rng.rand(4, 120, 160, 3) * 255).astype(np.uint8)
+    tf = TrainTransform(img_size=64, frame_transforms="crop", frame_aug="grid",
+                        patch_size=(16, 16, 3), rng=np.random.RandomState(1))
+    out = tf(vid)
+    assert out["whole"].shape == (4, 64, 64, 3)
+    assert out["whole_unnorm"].shape == (4, 64, 64, 3)
+    # grid: (64-16)/8+1 = 7 -> 49 patches of 16px
+    assert out["grid"].shape == (4, 49, 16, 16, 3)
+    # whole is exactly the normalized unnorm view (shared geometric draw)
+    np.testing.assert_allclose(out["whole"],
+                               normalize(out["whole_unnorm"]), atol=1e-5)
+
+
+# ------------------------------------------------------------ clips / video
+
+
+def test_resample_idx_torchvision_rule():
+    np.testing.assert_array_equal(resample_idx(10, 30.0, 15.0),
+                                  [0, 2, 4, 6, 8])
+    idx = resample_idx(10, 30.0, 20.0)  # step 1.5 -> floor(arange(6)*1.5)
+    np.testing.assert_array_equal(idx, [0, 1, 3, 4, 6, 7])
+
+
+@pytest.fixture(scope="module")
+def video_dir(tmp_path_factory):
+    """Synthesize a tiny Kinetics-style tree with cv2-encoded mp4s."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("kinetics") / "train_256"
+    for cls in ("classA", "classB"):
+        d = root / cls
+        d.mkdir(parents=True)
+        for vi in range(2):
+            path = str(d / f"vid{vi}.mp4")
+            w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                                30.0, (64, 64))
+            assert w.isOpened()
+            rng = np.random.RandomState(vi)
+            for t in range(40):
+                frame = np.full((64, 64, 3), t * 6 % 255, np.uint8)
+                frame[:, :, 0] = rng.randint(0, 255)
+                w.write(frame)
+            w.release()
+    return str(root)
+
+
+def test_video_clip_index_and_sampler(video_dir):
+    from videowalk_tpu.data.kinetics import find_videos
+
+    paths, labels, classes = find_videos(video_dir)
+    assert len(paths) == 4 and classes == ["classA", "classB"]
+
+    index = VideoClipIndex(paths, frames_per_clip=4, step_between_clips=1,
+                           frame_rate=8.0)
+    assert index.num_clips() > 0
+    frames, info, vi = index.get_clip(0)
+    assert frames.shape == (4, 64, 64, 3) and frames.dtype == np.uint8
+
+    sampler = RandomClipSampler(index, max_clips_per_video=3, seed=0)
+    idxs = list(iter(sampler))
+    assert len(idxs) == len(sampler) <= 12
+    vids = [index.get_clip_location(i)[0] for i in idxs]
+    assert max(np.bincount(vids)) <= 3
+
+
+def test_kinetics_dataset_end_to_end(video_dir):
+    tf = TrainTransform(img_size=64, frame_aug="grid",
+                        patch_size=(16, 16, 3),
+                        rng=np.random.RandomState(0))
+    ds = Kinetics400(video_dir, frames_per_clip=4, frame_rate=8.0,
+                     transform=tf, sp_method="slic", num_components=8,
+                     prob=1.0, sp_backend="host", seed=0)
+    ds.set_compactness(30)
+    views, sp_mask, label = ds[0]
+    assert views["grid"].shape == (4, 49, 16, 16, 3)
+    assert sp_mask.shape == (4, 64, 64) and sp_mask.dtype == np.int32
+    assert label in (0, 1)
+
+    loader = DataLoader(ds, batch_size=2, num_workers=2)
+    batch = next(iter(loader))
+    views_b, masks_b, labels_b = batch
+    assert views_b["grid"].shape == (2, 4, 49, 16, 16, 3)
+    assert masks_b.shape == (2, 4, 64, 64)
+
+
+def test_video_list(tmp_path):
+    import cv2
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    for i in range(12):
+        cv2.imwrite(str(d / f"{i}.jpg"),
+                    np.full((32, 32, 3), i * 20, np.uint8))
+    fl = tmp_path / "list.txt"
+    fl.write_text(f"{d} 12\n")
+    ds = VideoList(str(fl), clip_len=4, frame_gap=2, seed=0)
+    imgs, _, _ = ds[0]
+    assert imgs.shape == (4, 32, 32, 3)

@@ -84,6 +84,20 @@ def test_superpixel_train_step():
     step = make_train_step(model, optimizer, with_sp_mask=True, donate=False)
     state, metrics = step(state, video, jax.random.PRNGKey(1), mask)
     assert np.isfinite(float(metrics["loss"]))
+    # Regression: padded superpixel slots must not poison gradients with
+    # 0 * NaN through l2_normalize (params stay finite after the update).
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
+    state, metrics = step(state, video, jax.random.PRNGKey(2), mask)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_l2_normalize_zero_gradient():
+    """Zero vectors get zero (not NaN) gradients — torch 2-norm semantics."""
+    from videowalk_tpu.core.walk import l2_normalize
+
+    g = jax.grad(lambda x: jnp.sum(l2_normalize(x, -1) ** 2))(jnp.zeros((3, 4)))
+    assert float(jnp.abs(g).max()) == 0.0
 
 
 # ----------------------------------------------------------- checkpointing

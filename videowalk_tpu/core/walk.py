@@ -42,9 +42,15 @@ def l2_normalize(x: jax.Array, axis: int = -1) -> jax.Array:
     ``x / max(||x||_2, eps)`` — maps all-zero vectors to all-zero vectors,
     which is load-bearing for padded superpixel nodes (see module docstring).
     Reference: code/model.py:118,329.
+
+    Zero-vector *gradients* are defined as zero (the double-where trick;
+    torch special-cases its 2-norm backward the same way) — otherwise padded
+    superpixel slots poison the whole encoder gradient with 0 * NaN.
     """
-    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
-    return x / jnp.maximum(norm, L2_NORM_EPS)
+    sq = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+    safe_sq = jnp.where(sq > 0, sq, 1.0)   # keeps sqrt grad finite at 0
+    out = x / jnp.maximum(jnp.sqrt(safe_sq), L2_NORM_EPS)
+    return jnp.where(sq > 0, out, 0.0)
 
 
 def affinity(x1: jax.Array, x2: jax.Array) -> jax.Array:

@@ -1,0 +1,188 @@
+"""Video clip indexing and sampling (torchvision VideoClips equivalent).
+
+The reference indexes mp4s with torchvision's ``VideoClips`` (PyAV-backed)
+and samples with ``RandomClipSampler`` (code/data/kinetics.py:78-84,
+code/train.py:217-218). This environment has no PyAV; decode goes through
+OpenCV's ffmpeg backend. Semantics preserved:
+
+- per-video frame-accurate clip windows of ``frames_per_clip`` frames,
+  ``step_between_clips`` apart, after optional fps resampling
+  (torchvision's _resample_video_idx floor-arange rule);
+- metadata (frame counts/fps) computed once and cacheable
+  (code/train.py:191-206);
+- ``RandomClipSampler``: at most ``max_clips_per_video`` random clips per
+  video, order shuffled across videos.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+import random
+from typing import Sequence
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+def _probe(path: str) -> tuple[int, float]:
+    """(frame_count, fps) for a video file."""
+    cap = cv2.VideoCapture(path)
+    try:
+        if not cap.isOpened():
+            raise IOError(f"cannot open video: {path}")
+        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        fps = float(cap.get(cv2.CAP_PROP_FPS)) or 30.0
+        return n, fps
+    finally:
+        cap.release()
+
+
+def resample_idx(num_frames: int, original_fps: float, new_fps: float | None
+                 ) -> np.ndarray:
+    """torchvision VideoClips._resample_video_idx rule."""
+    if new_fps is None or original_fps <= 0:
+        return np.arange(num_frames)
+    step = original_fps / new_fps
+    if step.is_integer():
+        return np.arange(0, num_frames, int(step))
+    total = int(num_frames / step)
+    return (np.arange(total) * step).astype(np.int64)
+
+
+@dataclasses.dataclass
+class VideoClipIndex:
+    """Frame-accurate clip index over a list of video files."""
+
+    video_paths: list
+    frames_per_clip: int
+    step_between_clips: int = 1
+    frame_rate: float | None = None
+    _metadata: dict | None = None
+
+    def __post_init__(self):
+        if self._metadata is not None:
+            self.video_frames = list(self._metadata["video_frames"])
+            self.video_fps = list(self._metadata["video_fps"])
+        else:
+            self.video_frames, self.video_fps = [], []
+            for p in self.video_paths:
+                try:
+                    n, fps = _probe(p)
+                except Exception:
+                    n, fps = 0, 30.0
+                self.video_frames.append(n)
+                self.video_fps.append(fps)
+        self.compute_clips(self.frames_per_clip, self.step_between_clips,
+                           self.frame_rate)
+
+    def metadata(self) -> dict:
+        return {"video_paths": list(self.video_paths),
+                "video_frames": list(self.video_frames),
+                "video_fps": list(self.video_fps)}
+
+    def save_metadata(self, path: str) -> None:
+        with open(path, "wb") as f:
+            pickle.dump(self.metadata(), f)
+
+    @staticmethod
+    def load_metadata(path: str) -> dict:
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+    def compute_clips(self, frames_per_clip: int, step: int,
+                      frame_rate: float | None = None) -> None:
+        """(Re)build the clip table (torchvision compute_clips,
+        used at code/train.py:209)."""
+        self.frames_per_clip = frames_per_clip
+        self.step_between_clips = step
+        self.frame_rate = frame_rate
+        self.clips: list[np.ndarray] = []   # per video: (n_clips, T) frame idx
+        self.cumulative = [0]
+        for vi, n in enumerate(self.video_frames):
+            idxs = resample_idx(n, self.video_fps[vi], frame_rate)
+            n_clips = max(0, (len(idxs) - frames_per_clip) // step + 1)
+            windows = (np.arange(frames_per_clip)[None, :]
+                       + step * np.arange(n_clips)[:, None])
+            self.clips.append(idxs[windows] if n_clips > 0
+                              else np.zeros((0, frames_per_clip), np.int64))
+            self.cumulative.append(self.cumulative[-1] + n_clips)
+
+    def num_clips(self) -> int:
+        return self.cumulative[-1]
+
+    def get_clip_location(self, idx: int) -> tuple[int, int]:
+        vi = int(np.searchsorted(self.cumulative, idx, side="right")) - 1
+        return vi, idx - self.cumulative[vi]
+
+    def get_clip(self, idx: int) -> tuple[np.ndarray, dict, int]:
+        """Decode clip ``idx`` -> (frames (T, H, W, 3) uint8 RGB, info, video_idx)."""
+        if idx >= self.num_clips():
+            raise IndexError(idx)
+        vi, ci = self.get_clip_location(idx)
+        frame_idxs = self.clips[vi][ci]
+        frames = decode_frames(self.video_paths[vi], frame_idxs)
+        return frames, {"video_fps": self.video_fps[vi]}, vi
+
+
+def decode_frames(path: str, frame_idxs: Sequence[int]) -> np.ndarray:
+    """Decode specific frames from a video file (RGB uint8).
+
+    Sequential read from the earliest needed frame (cv2 seek is unreliable
+    frame-accurately on some codecs; clips are short and near-contiguous).
+    """
+    frame_idxs = np.asarray(frame_idxs)
+    first, last = int(frame_idxs.min()), int(frame_idxs.max())
+    cap = cv2.VideoCapture(path)
+    try:
+        if not cap.isOpened():
+            raise IOError(f"cannot open video: {path}")
+        if first > 0:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, first)
+            # verify the seek landed; fall back to sequential skim
+            pos = int(cap.get(cv2.CAP_PROP_POS_FRAMES))
+            if pos != first:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
+                for _ in range(first):
+                    cap.grab()
+        buf = {}
+        for fi in range(first, last + 1):
+            ok, frame = cap.read()
+            if not ok:
+                raise IOError(f"decode failed at frame {fi} of {path}")
+            if fi in frame_idxs:
+                buf[fi] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        return np.stack([buf[int(i)] for i in frame_idxs])
+    finally:
+        cap.release()
+
+
+class RandomClipSampler:
+    """At most ``max_clips_per_video`` random clips per video, shuffled
+    (torchvision semantics; code/train.py:217-218)."""
+
+    def __init__(self, clip_index: VideoClipIndex, max_clips_per_video: int,
+                 seed: int | None = None):
+        self.clip_index = clip_index
+        self.max_clips_per_video = max_clips_per_video
+        self.rng = random.Random(seed)
+
+    def __iter__(self):
+        idxs = []
+        cum = self.clip_index.cumulative
+        for vi in range(len(cum) - 1):
+            n = cum[vi + 1] - cum[vi]
+            take = min(n, self.max_clips_per_video)
+            if take > 0:
+                idxs.extend(self.rng.sample(range(cum[vi], cum[vi + 1]), take))
+        self.rng.shuffle(idxs)
+        return iter(idxs)
+
+    def __len__(self):
+        cum = self.clip_index.cumulative
+        return sum(min(cum[i + 1] - cum[i], self.max_clips_per_video)
+                   for i in range(len(cum) - 1))

@@ -1,0 +1,84 @@
+"""Threaded prefetching data loader.
+
+Replaces the reference's torch DataLoader (code/train.py:225-232, workers//2
+processes, pin_memory) with a thread-pool prefetcher: cv2 decode and the
+numpy transforms release the GIL, so threads overlap decode/augment/SLIC with
+TPU compute without multiprocessing serialization overhead. Batches are
+collated into contiguous numpy arrays ready for a single host->HBM transfer.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterable, Iterator, Sequence
+
+import numpy as np
+
+
+def default_collate(items: Sequence):
+    """Stack a list of samples into batch arrays (dicts/tuples/arrays)."""
+    first = items[0]
+    if isinstance(first, dict):
+        return {k: default_collate([it[k] for it in items]) for k in first}
+    if isinstance(first, (tuple, list)):
+        return type(first)(default_collate(list(col)) for col in zip(*items))
+    if isinstance(first, np.ndarray):
+        return np.stack(items)
+    return np.asarray(items)
+
+
+class DataLoader:
+    """Iterate ``dataset[i]`` for i from ``sampler`` in batches, prefetching
+    with ``num_workers`` threads."""
+
+    def __init__(self, dataset, batch_size: int, sampler: Iterable | None = None,
+                 num_workers: int = 4, collate_fn: Callable = default_collate,
+                 drop_last: bool = True, prefetch_batches: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = sampler
+        self.num_workers = max(1, num_workers)
+        self.collate_fn = collate_fn
+        self.drop_last = drop_last
+        self.prefetch_batches = prefetch_batches
+
+    def _indices(self):
+        if self.sampler is not None:
+            return list(iter(self.sampler))
+        return list(range(len(self.dataset)))
+
+    def __len__(self):
+        n = len(self._indices()) if self.sampler is not None else len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator:
+        indices = self._indices()
+        batches = [indices[i:i + self.batch_size]
+                   for i in range(0, len(indices), self.batch_size)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for batch_idx in batches:
+                    if stop.is_set():
+                        return
+                    items = list(pool.map(self.dataset.__getitem__, batch_idx))
+                    out_q.put(self.collate_fn(items))
+            out_q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = out_q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()

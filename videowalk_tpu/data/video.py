@@ -1,0 +1,94 @@
+"""Frame-folder datasets (JPEG directories).
+
+Parity surface with reference ``code/data/video.py``:
+
+- ``VideoList``: filelist of ``<jpeg_dir> <frame_count>`` lines; random clip
+  start, frame-gap auto-shrink when the video is too short (:51-56),
+  BGR->RGB reads (:75).
+- ``SingleVideoDataset``: random clips from one in-memory video (:90-104).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+class VideoList:
+    def __init__(self, filelist: str, clip_len: int, is_train: bool = True,
+                 frame_gap: int = 1, transform=None, random_clip: bool = True,
+                 seed: int | None = None):
+        self.filelist = filelist
+        self.clip_len = clip_len
+        self.is_train = is_train
+        self.frame_gap = frame_gap
+        self.random_clip = random_clip
+        self.transform = transform
+        self.rng = np.random.RandomState(seed)
+
+        self.jpgfiles, self.fnums = [], []
+        with open(filelist) as f:
+            for line in f:
+                rows = line.split()
+                if not rows:
+                    continue
+                self.jpgfiles.append(rows[0])
+                self.fnums.append(int(rows[1]))
+
+    def __len__(self):
+        return len(self.jpgfiles)
+
+    def __getitem__(self, index: int):
+        index = index % len(self.jpgfiles)
+        folder_path = self.jpgfiles[index]
+        fnum = self.fnums[index]
+
+        frame_gap = self.frame_gap
+        while fnum - self.clip_len * frame_gap < 0 and frame_gap > 1:
+            frame_gap -= 1   # auto-shrink (reference video.py:51-56)
+        diffnum = fnum - self.clip_len * frame_gap
+        startframe = int(self.rng.randint(0, max(1, diffnum + 1))) \
+            if self.random_clip else 0
+
+        files = sorted(os.listdir(folder_path),
+                       key=lambda x: int(x.split(".")[0]))
+        imgs = []
+        for i in range(self.clip_len):
+            fi = int(startframe + i * frame_gap)
+            img = cv2.imread(os.path.join(folder_path, files[fi]))
+            imgs.append(img[:, :, ::-1])  # BGR -> RGB (reference :75)
+        imgs = np.stack(imgs)
+
+        if self.transform is not None:
+            imgs = self.transform(imgs)
+        return imgs, 0, 0
+
+
+class SingleVideoDataset:
+    """Random fixed-length clips from one in-memory video
+    (reference video.py:90-104)."""
+
+    def __init__(self, video: np.ndarray, clip_len: int,
+                 fps_range=(1, 1), n_clips: int = 100000,
+                 seed: int | None = None):
+        self.video = video
+        self.clip_len = clip_len
+        self.fps = fps_range
+        self.n_clips = n_clips
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return self.n_clips
+
+    def __getitem__(self, index: int):
+        lo, hi = self.fps
+        fps = int(self.rng.randint(lo, max(lo + 1, hi)))
+        max_start = self.video.shape[0] // fps - self.clip_len
+        idx = int(self.rng.randint(max(1, max_start)))
+        return self.video[::fps][idx:idx + self.clip_len]

@@ -1,0 +1,310 @@
+"""Training driver (reference ``code/train.py`` parity).
+
+Structure mirrors the reference main (code/train.py:133-302): dataset +
+metadata cache -> RandomClipSampler -> loader -> CRW/CRWTeacherStudent ->
+Adam + per-step MultiStepLR -> epoch loop with per-step Bernoulli
+patch-vs-superpixel choice (:54-66), stochastic checkpointing p=0.005 (:76),
+meters ('clips/s', loss, lr), resume / partial reload, per-epoch checkpoints.
+
+TPU-native differences:
+- the two node paths are two jit-compiled step functions; the Bernoulli draw
+  stays on the host (exactly like the reference's python-level branch);
+- superpixels run on device by default (--sp-backend device): the batched
+  SLIC consumes the unnormalized view directly on TPU, replacing the
+  reference's CPU-worker segmentation (its known bottleneck);
+- --data-parallel shards the batch over all local devices via a Mesh
+  (replacing torch DataParallel, code/train.py:260-262).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from videowalk_tpu.data import DataLoader, Kinetics400, RandomClipSampler, VideoList
+from videowalk_tpu.data.augs import get_train_transforms
+from videowalk_tpu.data.clips import VideoClipIndex
+from videowalk_tpu.models import CRW, CRWConfig, CRWTeacherStudent
+from videowalk_tpu.parallel import (create_train_state, make_mesh,
+                                    make_optimizer, make_train_step,
+                                    multistep_lr, replicate, shard_batch)
+from videowalk_tpu.utils import (MetricLogger, SmoothedValue, load_checkpoint,
+                                 partial_load, save_checkpoint)
+
+
+def model_config(args) -> CRWConfig:
+    return CRWConfig(
+        model_type=args.model_type,
+        remove_layers=tuple(args.remove_layers),
+        head_depth=args.head_depth,
+        temperature=args.temp,
+        edgedrop_rate=args.dropout,
+        featdrop_rate=args.featdrop,
+        flip=args.flip,
+        sk_targets=args.sk_targets,
+        zero_diagonal=args.zero_diagonal,
+        head_bias=args.teacher_student,
+        use_zero_softmax=not args.teacher_student,
+        max_sp_num=args.max_sp_num,
+        dilate_superpixels=args.dilate_superpixels,
+        dilation_kernel_shape=args.dilation_kernel_shape,
+        dilation_kernel_size=args.dilation_kernel_size,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+    )
+
+
+def make_dataset(args, transform):
+    """Kinetics tree, or frame-folder filelist (reference train.py:159-189)."""
+    traindir = os.path.join(
+        args.data_path, "train_256" if not args.fast_test else "val_256")
+    if "kinetics" in args.data_path.lower() or os.path.isdir(traindir):
+        cached = None
+        if args.cache_dataset and os.path.exists(args.cache_path):
+            print(f"Loading dataset metadata from {args.cache_path}")
+            cached = VideoClipIndex.load_metadata(args.cache_path)
+        root = traindir if os.path.isdir(traindir) else args.data_path
+        ds = Kinetics400(
+            root,
+            frames_per_clip=args.clip_len,
+            step_between_clips=1,
+            frame_rate=args.frame_skip,
+            transform=transform,
+            _precomputed_metadata=cached,
+            sp_method=args.sp_method,
+            num_components=args.num_sp,
+            prob=args.prob,
+            randomise_superpixels=args.randomise_superpixels,
+            randomise_superpixels_range=args.randomise_superpixels_range,
+            sp_backend=args.sp_backend,
+            seed=args.seed,
+        )
+        if cached is None and args.cache_path:
+            os.makedirs(os.path.dirname(args.cache_path) or ".", exist_ok=True)
+            ds.video_clips.save_metadata(args.cache_path)
+            print(f"Saved dataset metadata to {args.cache_path}")
+        return ds
+    return VideoList(filelist=args.data_path, clip_len=args.clip_len,
+                     is_train=True, frame_gap=args.frame_skip,
+                     transform=transform, random_clip=True, seed=args.seed)
+
+
+def train_one_epoch(args, models, steps, state, data_loader, epoch, mesh,
+                    rng, checkpoint_fn, device_slic_fn):
+    metric_logger = MetricLogger(delimiter="  ")
+    metric_logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value}"))
+    metric_logger.add_meter("clips/s",
+                            SmoothedValue(window_size=10, fmt="{value:.3f}"))
+    header = f"Epoch: [{epoch}]"
+    host_rng = np.random.RandomState(args.seed + epoch)
+
+    for step_i, (views, sp_mask, _label) in enumerate(
+            metric_logger.log_every(data_loader, args.print_freq, header)):
+        if step_i >= args.steps_per_epoch:
+            break
+        start_time = time.time()
+        # patch vs superpixel Bernoulli (reference train.py:54)
+        grid = bool(host_rng.choice([True, False],
+                                    p=[args.prob, 1 - args.prob]))
+        key = jax.random.fold_in(rng, int(state.step))
+
+        if grid or args.teacher_student:
+            batch = jnp.asarray(views["grid"])
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            state, metrics = steps["patch"](state, batch, key)
+            n_clips = views["grid"].shape[0]
+        else:
+            video = jnp.asarray(views["whole"])
+            if args.sp_backend == "device":
+                unnorm = jnp.asarray(views["whole_unnorm"])
+                mask = device_slic_fn(unnorm, host_rng)
+            else:
+                mask = jnp.asarray(sp_mask)
+            if mesh is not None:
+                video = shard_batch(video, mesh)
+                mask = shard_batch(mask, mesh)
+            state, metrics = steps["superpixel"](state, video, key, mask)
+            n_clips = views["whole"].shape[0]
+
+        loss = float(metrics["loss"])
+        lr = float(multistep_lr(args.lr, steps["milestones"],
+                                args.lr_gamma)(int(state.step)))
+
+        # stochastic checkpointing (reference train.py:76-77)
+        if checkpoint_fn is not None and host_rng.random_sample() < 0.005:
+            checkpoint_fn(state, epoch)
+
+        metric_logger.update(loss=loss, lr=lr)
+        metric_logger.meters["clips/s"].update(
+            n_clips / (time.time() - start_time))
+
+    if checkpoint_fn is not None:
+        checkpoint_fn(state, epoch)
+    return state
+
+
+def main(args):
+    if args.teacher_student:
+        assert args.prob == 1, (
+            "Teacher-Student training is not yet compatible with "
+            "probabilistic sp | patch sampling")  # reference train.py:136-137
+
+    print("Arguments", end="\n" + "-" * 100 + "\n")
+    for arg, value in vars(args).items():
+        print(f"{arg} = {value}")
+    print("-" * 100)
+    print("jax devices:", jax.devices())
+
+    print("Preparing training dataloader", end="\n" + "-" * 100 + "\n")
+    st = time.time()
+    transform_train = get_train_transforms(args)
+    dataset = make_dataset(args, transform_train)
+    if hasattr(dataset, "set_compactness"):
+        print("Set Compactness at:", args.compactness)
+        dataset.set_compactness(args.compactness)
+    print("Took", time.time() - st)
+
+    print("Creating data loaders", end="\n" + "-" * 100 + "\n")
+    if hasattr(dataset, "video_clips"):
+        sampler = RandomClipSampler(dataset.video_clips,
+                                    args.clips_per_video, seed=args.seed)
+    else:
+        sampler = None
+    data_loader = DataLoader(dataset, batch_size=args.batch_size,
+                             sampler=sampler,
+                             num_workers=max(1, args.workers // 2))
+
+    # Model
+    print("Creating model", end="\n" + "-" * 100 + "\n")
+    cfg = model_config(args)
+    if args.teacher_student:
+        model = CRWTeacherStudent(cfg, alpha=args.alpha_teacher_student)
+        frozen = ("teacher_encoder", "teacher_head")
+    else:
+        model = CRW(cfg)
+        frozen = ()
+
+    steps_per_epoch = len(data_loader)
+    milestones = [steps_per_epoch * m for m in args.lr_milestones]
+    optimizer = make_optimizer(args.lr, milestones, args.lr_gamma,
+                               optim=args.optim, momentum=args.momentum)
+
+    # init with one example batch
+    example = dataset[next(iter(sampler)) if sampler is not None else 0]
+    views0 = example[0]
+    rng0 = jax.random.PRNGKey(args.seed)
+    if args.prob > 0 or args.teacher_student:
+        state = create_train_state(
+            model, optimizer, jnp.asarray(views0["grid"][None]), rng0)
+    else:
+        mask0 = (jnp.zeros((1, args.clip_len, args.img_size, args.img_size),
+                           jnp.int32) if args.sp_backend == "device"
+                 else jnp.asarray(example[1][None]))
+        state = create_train_state(
+            model, optimizer, jnp.asarray(views0["whole"][None]), rng0,
+            sp_mask=mask0)
+
+    # Teacher weights (reference teacherstudent.py:321-328)
+    if args.teacher_student and os.path.isfile(args.path_to_pretrained):
+        ckpt = load_checkpoint(args.path_to_pretrained)
+        tstate = {("teacher." + k): v for k, v in ckpt["model"].items()}
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        variables = partial_load(tstate, variables)
+        state = state.replace(params=variables["params"],
+                              batch_stats=variables["batch_stats"])
+
+    # Partial reload (reference train.py:265-268)
+    if args.partial_reload:
+        ckpt = load_checkpoint(args.partial_reload)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        variables = partial_load(ckpt["model"], variables)
+        state = state.replace(params=variables["params"],
+                              batch_stats=variables["batch_stats"])
+
+    # Resume (reference train.py:272-277)
+    if args.resume and os.path.isfile(args.resume):
+        ckpt = load_checkpoint(args.resume)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        variables = partial_load(ckpt["model"], variables, verbose=False)
+        state = state.replace(params=variables["params"],
+                              batch_stats=variables["batch_stats"])
+        if ckpt.get("optimizer") is not None:
+            try:
+                state = state.replace(opt_state=jax.tree_util.tree_map(
+                    jnp.asarray, ckpt["optimizer"]))
+            except Exception as e:  # foreign (torch) optimizer state
+                print("optimizer state not restored:", e)
+        sched = ckpt.get("lr_scheduler") or {}
+        if "step" in sched:
+            state = state.replace(step=jnp.asarray(int(sched["step"]),
+                                                   jnp.int32))
+        args.start_epoch = int(ckpt.get("epoch", -1)) + 1
+
+    # Mesh (replaces DataParallel, reference train.py:260-262)
+    mesh = None
+    if args.data_parallel and len(jax.devices()) > 1:
+        mesh = make_mesh()
+        state = replicate(state, mesh)
+
+    step_fns = {
+        "patch": make_train_step(model, optimizer, donate=False,
+                                 frozen_prefixes=frozen),
+        "superpixel": make_train_step(model, optimizer, with_sp_mask=True,
+                                      donate=False, frozen_prefixes=frozen),
+        "milestones": milestones,
+    }
+
+    def device_slic_fn(unnorm, host_rng):
+        from videowalk_tpu.ops import slic
+
+        B, T = unnorm.shape[0], unnorm.shape[1]
+        n_active = None
+        if args.randomise_superpixels:
+            lo = args.num_sp - args.randomise_superpixels_range // 2
+            hi = args.num_sp + args.randomise_superpixels_range // 2
+            n_active = jnp.asarray(host_rng.randint(lo, hi, (B * T,)))
+        return slic(unnorm, args.max_sp_num, float(args.compactness),
+                    n_active=n_active) if n_active is not None else slic(
+            unnorm, args.num_sp, float(args.compactness))
+
+    def checkpoint_fn(state_, epoch_):
+        if not args.output_dir:
+            return
+        variables = {"params": jax.device_get(state_.params),
+                     "batch_stats": jax.device_get(state_.batch_stats)}
+        ck_args = {k: v for k, v in vars(args).items()
+                   if isinstance(v, (int, float, str, bool, list, tuple))}
+        for path in (os.path.join(args.output_dir, f"model_{epoch_}.pth"),
+                     os.path.join(args.output_dir, "checkpoint.pth")):
+            save_checkpoint(path, variables,
+                            optimizer_state=jax.device_get(state_.opt_state),
+                            lr_scheduler_state={
+                                "step": int(state_.step),
+                                "milestones": milestones,
+                                "gamma": args.lr_gamma},
+                            epoch=epoch_, args=ck_args)
+
+    print("Start training", end="\n" + "-" * 100 + "\n")
+    start_time = time.time()
+    rng = jax.random.PRNGKey(args.seed + 1234)
+    for epoch in range(args.start_epoch, args.epochs):
+        state = train_one_epoch(args, model, step_fns, state, data_loader,
+                                epoch, mesh, rng, checkpoint_fn,
+                                device_slic_fn)
+
+    import datetime as _dt
+
+    total = str(_dt.timedelta(seconds=int(time.time() - start_time)))
+    print(f"Training time {total}")
+    return state
+
+
+if __name__ == "__main__":
+    from videowalk_tpu.utils.arguments import train_args
+
+    main(train_args())

@@ -1,0 +1,219 @@
+"""Argument parsers: the reference's train/test flag surface.
+
+Parity with reference ``code/utils/arguments.py``:
+
+- ``train_args`` <-> :97-256 (~50 flags) including the post-processing:
+  --fast-test shrink (:228-231), prob<->method coupling (:233-236), and the
+  auto-named experiment output dir (:238-251).
+- ``test_args``  <-> :18-90 (~25 flags).
+
+TPU-specific additions are kept to a minimum and documented inline
+(--sp-backend for host vs on-device SLIC, --dtype for bf16 encoders).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+
+
+def _mkdirs(*paths):
+    for p in paths:
+        if p and p != "auto":
+            os.makedirs(p, exist_ok=True)
+
+
+def test_args(argv=None):
+    """Label-propagation evaluation args (reference arguments.py:18-90)."""
+    parser = argparse.ArgumentParser(description="Label Propagation")
+
+    parser.add_argument("--workers", default=4, type=int, metavar="N")
+    parser.add_argument("--resume", default="", type=str, metavar="PATH",
+                        help="path to checkpoint (.pth)")
+    parser.add_argument("--manualSeed", type=int, default=777)
+
+    parser.add_argument("--gpu-id", default="0", type=str,
+                        help="unused on TPU; kept for CLI parity")
+    parser.add_argument("--batchSize", default=1, type=int)
+    parser.add_argument("--temperature", default=0.07, type=float)
+    parser.add_argument("--topk", default=10, type=int, help="k for kNN")
+    parser.add_argument("--radius", default=12, type=float,
+                        help="spatial radius for neighbor mask")
+    parser.add_argument("--videoLen", default=20, type=int,
+                        help="number of context frames")
+    parser.add_argument("--cropSize", default=320, type=int,
+                        help="resize of test images, -1 for native size")
+
+    parser.add_argument("--filelist", default="davis_vallist.txt", type=str)
+    parser.add_argument("--save-path", default="./results", type=str)
+
+    parser.add_argument("--visdom", default=False, action="store_true")
+    parser.add_argument("--visdom-server", default="localhost", type=str)
+
+    parser.add_argument("--model-type", default="scratch", type=str)
+    parser.add_argument("--head-depth", default=-1, type=int)
+    parser.add_argument("--remove-layers", default=["layer4"], nargs="*")
+    parser.add_argument("--no-l2", default=False, action="store_true")
+    parser.add_argument("--long-mem", default=[0], type=int, nargs="*")
+    parser.add_argument("--texture", default=False, action="store_true")
+    parser.add_argument("--round", default=False, action="store_true")
+    parser.add_argument("--norm_mask", default=False, action="store_true")
+    parser.add_argument("--finetune", default=0, type=int)
+    parser.add_argument("--pca-vis", default=False, action="store_true")
+
+    args = parser.parse_args(argv)
+    args.device = "tpu"
+    args.imgSize = args.cropSize
+    return args
+
+
+def train_args(argv=None):
+    """Training args (reference arguments.py:97-256)."""
+    parser = argparse.ArgumentParser(description="Video Walk Training")
+
+    parser.add_argument("--data-path", default="/data/kinetics/")
+    parser.add_argument("--cache-path", type=str,
+                        default="cached_data/kinetics.pt",
+                        help="filepath of the cached dataset metadata")
+    parser.add_argument("--device", default="tpu")
+    parser.add_argument("--clip-len", default=8, type=int, metavar="N")
+    parser.add_argument("--clips-per-video", default=5, type=int, metavar="N")
+    parser.add_argument("-b", "--batch-size", default=8, type=int)
+    parser.add_argument("--epochs", default=25, type=int, metavar="N")
+    parser.add_argument("--steps-per-epoch", default=int(1e10), type=int)
+    parser.add_argument("-j", "--workers", default=10, type=int, metavar="N")
+    parser.add_argument("--lr", default=1e-4, type=float)
+    parser.add_argument("--momentum", default=0.9, type=float, metavar="M")
+    parser.add_argument("--wd", "--weight-decay", default=1e-4, type=float,
+                        dest="weight_decay")
+
+    parser.add_argument("--lr-milestones", nargs="+", default=[20, 30, 40],
+                        type=int)
+    parser.add_argument("--lr-gamma", default=0.3, type=float)
+    parser.add_argument("--lr-warmup-epochs", default=0, type=int)
+    parser.add_argument("--print-freq", default=10, type=int)
+    parser.add_argument("--output-dir", default="auto")
+    parser.add_argument("--logs-dir", default="auto")
+    parser.add_argument("--resume", default="")
+    parser.add_argument("--partial-reload", default="")
+    parser.add_argument("--start-epoch", default=0, type=int, metavar="N")
+
+    parser.add_argument("--cache-dataset", dest="cache_dataset",
+                        action="store_true")
+    parser.add_argument("--data-parallel", dest="data_parallel",
+                        action="store_true",
+                        help="shard the batch over all local TPU devices")
+    parser.add_argument("--fast-test", dest="fast_test", action="store_true")
+
+    parser.add_argument("--name", default="", type=str)
+    parser.add_argument("--dropout", default=0, type=float,
+                        help="edge dropout rate on A")
+    parser.add_argument("--zero-diagonal", action="store_true")
+    parser.add_argument("--flip", default=False, action="store_true",
+                        help="flip transitions (bug; reference parity)")
+
+    parser.add_argument("--frame-aug", default="", type=str,
+                        help="grid or none")
+    parser.add_argument("--frame-transforms", default="crop", type=str,
+                        help="combine, ex: crop, cj, flip")
+    parser.add_argument("--frame-skip", default=8, type=int,
+                        help="kinetics: fps | others: frame gap")
+    parser.add_argument("--img-size", default=256, type=int)
+    parser.add_argument("--patch-size", default=[64, 64, 3], type=int,
+                        nargs="+")
+
+    parser.add_argument("--port", default=8095, type=int)
+    parser.add_argument("--server", default="localhost", type=str)
+
+    parser.add_argument("--model-type", default="scratch", type=str)
+    parser.add_argument("--optim", default="adam", type=str)
+    parser.add_argument("--temp", default=0.07, type=float)
+    parser.add_argument("--featdrop", default=0.0, type=float)
+    parser.add_argument("--restrict", default=-1, type=int)
+    parser.add_argument("--head-depth", default=0, type=int)
+    parser.add_argument("--visualize", default=False, action="store_true")
+    parser.add_argument("--remove-layers", default=[], nargs="*")
+
+    # Sinkhorn-Knopp (experimental, reference :191-195)
+    parser.add_argument("--sk-align", default=False, action="store_true")
+    parser.add_argument("--sk-targets", default=False, action="store_true")
+
+    # Superpixels
+    parser.add_argument("--sp-method", default="slic", type=str,
+                        help="none | slic | fh | random")
+    parser.add_argument("--num-sp", default=30, type=int)
+    parser.add_argument("--prob", default=1.0, type=float,
+                        help="1 for patches; 0 for superpixels")
+    parser.add_argument("--compactness", default=200, type=int)
+
+    # Dilated superpixels
+    parser.add_argument("--dilate-superpixels", default=False,
+                        action="store_true")
+    parser.add_argument("--dilation-kernel-shape", default="L1", type=str,
+                        help="L1 | circle | cross")
+    parser.add_argument("--dilation-kernel-size", default=51, type=int)
+
+    # Variable superpixels
+    parser.add_argument("--randomise-superpixels", default=False,
+                        action="store_true")
+    parser.add_argument("--randomise-superpixels-range", default=10, type=int)
+
+    # Teacher-student
+    parser.add_argument("--teacher-student", default=False,
+                        action="store_true")
+    parser.add_argument("--path-to-pretrained", default="../pretrained.pth",
+                        type=str)
+    parser.add_argument("--alpha-teacher-student", type=float, default=None)
+
+    # --- TPU-native extensions (not in the reference CLI) ---
+    parser.add_argument("--sp-backend", default="device", type=str,
+                        help="device (on-TPU SLIC) | host (C++ SLIC in "
+                             "loader workers, reference-style)")
+    parser.add_argument("--max-sp-num", default=-1, type=int,
+                        help="static superpixel node slots; -1 = "
+                             "num_sp + randomise range + margin")
+    parser.add_argument("--dtype", default="float32", type=str,
+                        help="encoder compute dtype: float32 | bfloat16")
+    parser.add_argument("--seed", default=0, type=int)
+
+    args = parser.parse_args(argv)
+
+    # post-processing (reference :228-251)
+    if args.fast_test:
+        args.batch_size = 1
+        args.workers = 0
+        args.data_parallel = False
+
+    if args.prob == 1.0:
+        args.sp_method = "none"
+    elif args.prob == 0:
+        args.frame_aug = "none"
+
+    if args.max_sp_num < 0:
+        margin = (args.randomise_superpixels_range // 2
+                  if args.randomise_superpixels else 0)
+        args.max_sp_num = args.num_sp + margin + 8
+
+    if args.output_dir == "auto":
+        keys = {
+            "dropout": "drop", "clip_len": "len",
+            "frame_transforms": "ftrans", "frame_aug": "faug",
+            "optim": "optim", "temp": "temp", "featdrop": "fdrop",
+            "lr": "lr", "head_depth": "mlp", "sp_method": "sp",
+            "num_sp": "nsp", "prob": "p",
+        }
+        name = "-".join(
+            "%s%s" % (keys[k], getattr(args, k)
+                      if not isinstance(getattr(args, k), list)
+                      else "-".join(str(s) for s in getattr(args, k)))
+            for k in keys)
+        args.output_dir = "checkpoints/%s_%s/" % (args.name, name)
+        dt = datetime.datetime.today()
+        args.name = "%s-%s-%s_%s" % (dt.month, dt.day, args.name, name)
+
+    if args.logs_dir == "auto":
+        args.logs_dir = os.path.join(args.output_dir, "logs")
+
+    _mkdirs(args.output_dir, args.logs_dir)
+    return args

@@ -246,7 +246,7 @@ def save_checkpoint(
         "args": dict(args or {}),
     }
     if _HAVE_TORCH:
-        ckpt["model"] = {k: torch.from_numpy(np.ascontiguousarray(v))
+        ckpt["model"] = {k: torch.from_numpy(np.ascontiguousarray(v).copy())
                          if np.ndim(v) else torch.tensor(v)
                          for k, v in ckpt["model"].items()}
         torch.save(ckpt, path)

@@ -1,0 +1,125 @@
+"""End-to-end evaluation pipeline test on a synthetic DAVIS-style dataset:
+VOSDataset -> encoder feats -> on-device propagation -> dump -> convert ->
+J&F metrics (the reference's test.sh:21-32 flow, all in-repo)."""
+
+import os
+import types
+
+import numpy as np
+import pytest
+
+import cv2
+from PIL import Image
+
+from videowalk_tpu.eval import palette as palette_mod
+
+PALETTE = palette_mod.tensor.astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def davis_root(tmp_path_factory):
+    """Two 10-frame videos with a moving colored square (object 1)."""
+    root = tmp_path_factory.mktemp("DAVIS")
+    vids = ["video0", "video1"]
+    for vi, vid in enumerate(vids):
+        jdir = root / "JPEGImages" / "480p" / vid
+        adir = root / "Annotations" / "480p" / vid
+        jdir.mkdir(parents=True)
+        adir.mkdir(parents=True)
+        rng = np.random.RandomState(vi)
+        bg = rng.randint(0, 80, (64, 64, 3), np.uint8)
+        for t in range(10):
+            img = bg.copy()
+            x = 8 + 4 * t
+            img[20:36, x:x + 16] = [200, 40, 40]
+            cv2.imwrite(str(jdir / f"{t:05d}.jpg"),
+                        img[:, :, ::-1],
+                        [cv2.IMWRITE_JPEG_QUALITY, 95])
+            ann = np.zeros((64, 64), np.uint8)
+            ann[20:36, x:x + 16] = 1
+            im = Image.fromarray(ann)
+            im.putpalette(PALETTE.ravel())
+            im.save(str(adir / f"{t:05d}.png"))
+    (root / "ImageSets" / "2017").mkdir(parents=True)
+    (root / "ImageSets" / "2017" / "val.txt").write_text(
+        "\n".join(vids) + "\n")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def filelist(davis_root, tmp_path_factory):
+    from videowalk_tpu.eval.make_davis_vallist import make_list
+
+    lines = make_list(davis_root)
+    p = tmp_path_factory.mktemp("lists") / "davis_vallist.txt"
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def make_args(filelist, save_path):
+    return types.SimpleNamespace(
+        filelist=filelist, save_path=save_path, resume="",
+        model_type="scratch_zeropad", head_depth=-1,
+        remove_layers=["layer4"], no_l2=False,
+        topk=5, videoLen=3, radius=6.0, temperature=0.05,
+        cropSize=-1, imgSize=-1, long_mem=[0], texture=False, round=False,
+        norm_mask=False, workers=0, batchSize=1, manualSeed=777,
+        finetune=0, pca_vis=False, visdom=False,
+    )
+
+
+def test_vos_dataset_shapes(filelist, tmp_path):
+    from videowalk_tpu.data.vos import VOSDataset
+    from videowalk_tpu.eval.test_utils import infer_downscale
+
+    args = make_args(filelist, str(tmp_path))
+    args.mapScale = infer_downscale(8)
+    ds = VOSDataset(args)
+    assert len(ds) == 2
+    imgs, imgs_orig, lbls_resize, lbls, lblset, meta = ds[0]
+    # 10 frames + videoLen(3) frame-0 copies
+    assert imgs.shape == (13, 64, 64, 3)
+    assert imgs_orig.shape == (13, 64, 64, 3)
+    assert lbls_resize.shape == (13, 8, 8, lblset.shape[0])
+    assert lblset.shape[0] == 2  # background + 1 object
+
+
+def test_full_eval_pipeline(filelist, davis_root, tmp_path):
+    from videowalk_tpu.cli.test import main as test_main
+    from videowalk_tpu.eval.convert_davis import convert_all
+    from videowalk_tpu.eval.davis_metrics import evaluate_davis
+
+    save_path = str(tmp_path / "results")
+    args = make_args(filelist, save_path)
+    test_main(args)
+
+    # dumped predictions exist
+    assert os.path.exists(os.path.join(save_path, "0_0_blend.jpg"))
+    assert os.path.exists(os.path.join(save_path, "0_0_mask.png"))
+    assert os.path.exists(os.path.join(save_path, "1_9_mask.png"))
+
+    converted = str(tmp_path / "converted")
+    convert_all(save_path, converted, davis_root, workers=2)
+    p = np.array(Image.open(os.path.join(converted, "video0", "00000.png")))
+    assert p.shape == (64, 64)
+    assert set(np.unique(p)) <= {0, 1}
+    # frame 0 prediction is the ground truth (reference test.py:156-160) —
+    # up to the feature-resolution round trip (labels are downsampled to the
+    # 8x8 feature grid and upsampled back, exactly like the reference)
+    gt0 = np.array(Image.open(os.path.join(
+        davis_root, "Annotations", "480p", "video0", "00000.png")))
+    assert (p == gt0).mean() > 0.95
+
+    metrics = evaluate_davis(converted, davis_root)
+    assert 0.0 <= metrics["J&F-Mean"] <= 1.0
+    # random-weight encoder on an easy moving square: better than chance
+    assert metrics["J-Mean"] > 0.05
+
+
+def test_davis_metrics_perfect_and_empty(davis_root, tmp_path):
+    """J&F == 1 when predictions equal ground truth."""
+    from videowalk_tpu.eval.davis_metrics import evaluate_sequence
+
+    ann = os.path.join(davis_root, "Annotations", "480p", "video0")
+    m = evaluate_sequence(ann, ann)
+    assert m["J"] == 1.0 and m["F"] == 1.0

@@ -1,0 +1,91 @@
+"""Label-propagation parity vs. a NumPy oracle of the reference evaluator
+(code/test.py:141-160 + code/utils/test_utils.py:129-179)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from videowalk_tpu.eval import context_index_bank, propagate_labels
+
+
+def reference_propagation_oracle(feats, labels0, n_context, long_mem, topk,
+                                 temperature, radius):
+    """Direct NumPy re-derivation of the reference's autoregressive loop."""
+    N, C, H, W = feats.shape
+    HW = H * W
+    key_indices = context_index_bank(n_context, long_mem, N - n_context)
+
+    # radius mask (code/test.py:118-123)
+    gy, gx = np.mgrid[0:H, 0:W]
+    D = np.sqrt((gy.ravel()[:, None] - gy.ravel()[None]) ** 2
+                + (gx.ravel()[:, None] - gx.ravel()[None]) ** 2)
+    mask = np.where(D < radius, 0.0, -1e10)
+
+    lbls = labels0.reshape(N, HW, -1).copy()
+    n_lbl = lbls.shape[-1]
+    feats_flat = feats.reshape(N, C, HW)
+
+    preds = []
+    for t in range(key_indices.shape[0]):
+        idx = key_indices[t]
+        keys = feats_flat[idx]                       # (L, C, HW)
+        query = feats_flat[t + n_context]            # (C, HW)
+        A = np.einsum("lck,cq->lkq", keys, query)    # (L, HW_k, HW_q)
+        A[len(long_mem):] += mask[None]
+        A = A.reshape(-1, HW) / temperature          # (L*HW_k, HW_q)
+        # topk over source nodes per query + softmax over the kept k
+        ids = np.argsort(-A, axis=0)[:topk]          # (topk, HW_q)
+        w = np.take_along_axis(A, ids, axis=0)
+        w = np.exp(w - w.max(0, keepdims=True))
+        w = w / w.sum(0, keepdims=True)
+        ctx = lbls[idx].reshape(-1, n_lbl)           # (L*HW, n_lbl)
+        pred = (ctx[ids] * w[..., None]).sum(0)      # (HW, n_lbl)
+        if t == 0:
+            pred = lbls[0]                            # code/test.py:158-159
+        lbls[t + n_context] = pred
+        preds.append(pred.reshape(H, W, n_lbl))
+    return np.stack(preds)
+
+
+@pytest.mark.parametrize("long_mem", [[0]])
+def test_propagation_matches_reference_oracle(long_mem):
+    rng = np.random.RandomState(0)
+    n_context, N_targets, C, H, W, n_lbl = 3, 6, 8, 6, 6, 4
+    N = N_targets + n_context
+    feats = rng.randn(N, C, H, W).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    labels0 = np.zeros((N, H, W, n_lbl), np.float32)
+    onehot = rng.randint(0, n_lbl, (H, W))
+    labels0[:n_context + 1] = np.eye(n_lbl, dtype=np.float32)[onehot]
+
+    oracle = reference_propagation_oracle(
+        feats, labels0, n_context, long_mem, topk=5, temperature=0.07,
+        radius=4.0)
+
+    key_indices = context_index_bank(n_context, long_mem, N_targets)
+    ours = np.asarray(propagate_labels(
+        jnp.asarray(feats), jnp.asarray(labels0), jnp.asarray(key_indices),
+        n_context=n_context, n_long=len(long_mem), topk=5,
+        temperature=0.07, radius=4.0))
+
+    assert ours.shape == oracle.shape
+    np.testing.assert_allclose(ours, oracle, rtol=1e-4, atol=1e-5)
+
+
+def test_context_index_bank_matches_reference_shape():
+    """(N, 1 + n_context); long-mem col 0 then sliding window
+    (code/utils/test_utils.py:129-145)."""
+    ki = context_index_bank(3, [0], 5)
+    assert ki.shape == (5, 4)
+    np.testing.assert_array_equal(ki[:, 0], 0)
+    np.testing.assert_array_equal(ki[0, 1:], [0, 1, 2])
+    np.testing.assert_array_equal(ki[4, 1:], [4, 5, 6])
+
+
+def test_context_index_bank_nonzero_long_mem():
+    ki = context_index_bank(2, [0, 1], 4)
+    assert ki.shape == (4, 4)
+    # long-mem frame 1 (> 0): idx = 1 + n_context + 1 = 4, zeroed for the
+    # first n_context + t + 1 targets (code/utils/test_utils.py:134-139)
+    np.testing.assert_array_equal(ki[:, 1], [0, 0, 0, 0])

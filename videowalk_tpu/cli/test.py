@@ -1,0 +1,166 @@
+"""Evaluation driver: k-NN label propagation (reference ``code/test.py``).
+
+Per video (reference test.py:67-209): encoder features in minibatches ->
+L2-normalize -> context bank + radius mask -> top-k softmax affinities ->
+autoregressive propagation -> dump blend jpg / mask png (and JHMDB pose
+``.dat`` keypoints).
+
+TPU-first: the whole propagation loop is ONE jitted ``lax.scan`` on device
+(videowalk_tpu/eval/propagation.py); the reference's double-minibatched CPU
+offload disappears.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from videowalk_tpu.eval.propagation import context_index_bank, propagate_labels
+from videowalk_tpu.eval import test_utils
+from videowalk_tpu.models import CRW, CRWConfig
+from videowalk_tpu.models.encoder import make_encoder
+from videowalk_tpu.utils import load_checkpoint, partial_load
+
+
+def build_model(args):
+    cfg = CRWConfig(
+        model_type=args.model_type,
+        remove_layers=tuple(args.remove_layers),
+        head_depth=args.head_depth,
+        temperature=args.temperature,
+    )
+    model = CRW(cfg)
+    spec = make_encoder(args.model_type, tuple(args.remove_layers))
+    return model, spec
+
+
+def encode_video(model, variables, imgs: np.ndarray, batch_size: int = 5,
+                 l2: bool = True) -> jnp.ndarray:
+    """Per-frame encoder features, minibatched (reference test.py:84-93).
+
+    Args:
+      imgs: (N, H, W, 3) normalized frames.
+    Returns:
+      (N, C, H', W') L2-normalized features.
+    """
+
+    @jax.jit
+    def enc(v, x):
+        q, maps = model.apply(v, x, just_feats=True, train=False)
+        return maps  # (B, T, H', W', C)
+
+    feats = []
+    N = imgs.shape[0]
+    # fixed minibatch with padding: one compile for all videos
+    for b in range(0, N, batch_size):
+        chunk = imgs[b:b + batch_size]
+        pad = batch_size - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
+        m = enc(variables, jnp.asarray(chunk)[None])[0]
+        feats.append(np.asarray(m[:m.shape[0] - pad if pad else batch_size]))
+    feats = np.concatenate(feats)[:N]            # (N, H', W', C)
+    feats = np.moveaxis(feats, -1, 1)            # (N, C, H', W')
+    if l2:
+        norm = np.linalg.norm(feats, axis=1, keepdims=True)
+        feats = feats / np.maximum(norm, 1e-12)
+    return feats
+
+
+def test(loader, model, variables, args):
+    n_context = args.videoLen
+
+    for vid_idx, (imgs, imgs_orig, lbls_resize, lbls_orig, lbl_map, meta) \
+            in enumerate(loader):
+        t_vid = time.time()
+        N = imgs.shape[0]
+        print(f"******* Vid {vid_idx} ({N} frames) *******", flush=True)
+        t00 = time.time()
+
+        feats = encode_video(model, variables, imgs, l2=not args.no_l2)
+        print("computed features", time.time() - t00, flush=True)
+
+        key_indices = context_index_bank(n_context, list(args.long_mem),
+                                         N - n_context)
+        # feature-resolution labels buffer
+        labels0 = lbls_resize.astype(np.float32)
+
+        t03 = time.time()
+        preds = propagate_labels(
+            jnp.asarray(feats), jnp.asarray(labels0),
+            jnp.asarray(key_indices),
+            n_context=n_context, n_long=len(args.long_mem),
+            topk=args.topk, temperature=args.temperature,
+            radius=float(args.radius))
+        preds = np.asarray(preds)
+        print(time.time() - t03, "propagation (on-device)", flush=True)
+
+        keypts = []
+        for t in range(preds.shape[0]):
+            pred = preds[t]
+            if args.norm_mask:
+                pred -= pred.min(-1, keepdims=True)
+                pred /= np.maximum(pred.max(-1, keepdims=True), 1e-12)
+            cur_img = imgs_orig[t + n_context] * 255
+
+            if "jhmdb" in args.filelist.lower():
+                coords, _ = test_utils.process_pose(pred, lbl_map)
+                keypts.append(coords)
+
+            if "VIP" in args.filelist:
+                outpath = os.path.join(
+                    args.save_path,
+                    "videos" + meta["img_paths"][t + n_context].split(
+                        "videos")[-1])
+                os.makedirs(os.path.dirname(outpath), exist_ok=True)
+            else:
+                outpath = os.path.join(args.save_path,
+                                       f"{vid_idx}_{t}")
+            test_utils.dump_predictions(pred, lbl_map, cur_img, outpath)
+
+        if keypts:
+            coordpath = os.path.join(args.save_path, f"{vid_idx}.dat")
+            np.stack(keypts, axis=-1).dump(coordpath)
+
+        print(f"******* Vid {vid_idx} TOOK {time.time() - t_vid} *******",
+              flush=True)
+
+
+def main(args):
+    import jax as _jax
+
+    print("jax devices:", _jax.devices())
+    model, spec = build_model(args)
+    args.mapScale = test_utils.infer_downscale(spec.map_scale)
+    args.use_lab = args.model_type == "uvc"
+
+    from videowalk_tpu.data import jhmdb, vos
+
+    dataset = (vos.VOSDataset if "jhmdb" not in args.filelist
+               else jhmdb.JhmdbSet)(args)
+
+    # init variables then load checkpoint (reference test.py:40-53)
+    dummy = jnp.zeros((1, 1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), dummy, just_feats=True,
+                           train=False)
+    if args.resume and os.path.isfile(args.resume):
+        print("==> Resuming from checkpoint..")
+        ckpt = load_checkpoint(args.resume)
+        variables = partial_load(ckpt["model"], variables,
+                                 skip_keys=["head"])
+
+    os.makedirs(args.save_path, exist_ok=True)
+    loader = (dataset[i] for i in range(len(dataset)))
+    test(loader, model, variables, args)
+
+
+if __name__ == "__main__":
+    from videowalk_tpu.utils.arguments import test_args
+
+    main(test_args())

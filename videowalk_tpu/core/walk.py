@@ -308,6 +308,10 @@ def crw_walk_loss(
     Reference: code/model.py:334-415 (walk + loss sections).
     """
     T = q.shape[2]
+    if T < 3:
+        # No complete palindrome cycle exists; the reference's loss is the
+        # empty sum (code/model.py:391,413 -> 0).
+        return jnp.asarray(0.0, jnp.float32), {}
     A12s, A21s = transition_matrices(
         q, temperature, key=key, edgedrop_rate=edgedrop_rate,
         use_zero_softmax=use_zero_softmax)

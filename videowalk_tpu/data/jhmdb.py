@@ -1,0 +1,142 @@
+"""JHMDB pose dataset for keypoint propagation.
+
+Parity surface with reference ``code/data/jhmdb.py`` (JhmdbSet): frame list
+with ``videoLen`` frame-0 copies, shorter-side resize, ImageNet
+normalization, pose keypoints from ``joint_positions.mat`` rendered as
+Gaussian heatmaps at feature resolution (draw_labelmap_np, :287-319), plus a
+background channel (:266). The reference has a latent missing
+``scipy.io`` import (:231) — fixed here.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import scipy.io as sio
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+from videowalk_tpu.data.vos import IMAGENET_MEAN, IMAGENET_STD, load_image, resize_hw
+
+
+def draw_labelmap_np(img, pt, sigma, kind="Gaussian"):
+    """Draw a 2D gaussian at pt into img (reference jhmdb.py:287-319)."""
+    ul = [int(pt[0] - 3 * sigma), int(pt[1] - 3 * sigma)]
+    br = [int(pt[0] + 3 * sigma + 1), int(pt[1] + 3 * sigma + 1)]
+    if (ul[0] >= img.shape[1] or ul[1] >= img.shape[0]
+            or br[0] < 0 or br[1] < 0):
+        return img
+    size = 6 * sigma + 1
+    x = np.arange(0, size, 1, float)
+    y = x[:, np.newaxis]
+    x0 = y0 = size // 2
+    if kind == "Gaussian":
+        g = np.exp(-((x - x0) ** 2 + (y - y0) ** 2) / (2 * sigma ** 2))
+    else:  # Cauchy
+        g = sigma / (((x - x0) ** 2 + (y - y0) ** 2 + sigma ** 2) ** 1.5)
+    g_x = max(0, -ul[0]), min(br[0], img.shape[1]) - ul[0]
+    g_y = max(0, -ul[1]), min(br[1], img.shape[0]) - ul[1]
+    img_x = max(0, ul[0]), min(br[0], img.shape[1])
+    img_y = max(0, ul[1]), min(br[1], img.shape[0])
+    img[img_y[0]:img_y[1], img_x[0]:img_x[1]] = \
+        g[g_y[0]:g_y[1], g_x[0]:g_x[1]]
+    return img
+
+
+class JhmdbSet:
+    def __init__(self, args, sigma: float = 0.5):
+        self.filelist = args.filelist
+        self.imgSize = args.imgSize
+        self.videoLen = args.videoLen
+        self.mapScale = args.mapScale
+        self.texture = args.texture
+        self.round = args.round
+        self.sigma = sigma
+
+        self.jpgfiles, self.lblfiles = [], []
+        with open(self.filelist) as f:
+            for line in f:
+                rows = line.split()
+                if not rows:
+                    continue
+                self.jpgfiles.append(rows[0])
+                self.lblfiles.append(rows[1])
+
+    def __len__(self):
+        return len(self.jpgfiles)
+
+    def make_paths(self, folder_path):
+        I = sorted((ll for ll in os.listdir(folder_path) if ".png" in ll),
+                   key=lambda x: int(x.split(".")[0]))
+        frame_num = len(I) + self.videoLen
+        return [os.path.join(folder_path, I[max(0, i - self.videoLen)])
+                for i in range(frame_num)]
+
+    def __getitem__(self, index):
+        folder_path = self.jpgfiles[index]
+        label_path = self.lblfiles[index]
+        img_paths = self.make_paths(folder_path)
+        frame_num = len(img_paths)
+
+        imgs, imgs_orig = [], []
+        ht = wd = newh = neww = None
+        for p in img_paths:
+            img = load_image(p)
+            ht, wd = img.shape[:2]
+            if self.imgSize > 0:
+                newh = neww = self.imgSize
+                img = resize_hw(img, newh, neww)
+            else:
+                newh, neww = ht, wd
+            img_orig = img.copy()
+            img = ((img - np.asarray(IMAGENET_MEAN, np.float32))
+                   / np.asarray(IMAGENET_STD, np.float32))
+            imgs.append(img)
+            imgs_orig.append(img_orig)
+
+        rsz_h = math.ceil(newh / self.mapScale[0])
+        rsz_w = math.ceil(neww / self.mapScale[1])
+
+        lbls_mat = sio.loadmat(label_path)
+        lbls_coord = lbls_mat["pos_img"].astype(np.float64) - 1
+        # scale to feature resolution (reference jhmdb.py:238-239)
+        lbls_coord[0] = lbls_coord[0] * float(neww) / float(wd) / self.mapScale[0]
+        lbls_coord[1] = lbls_coord[1] * float(newh) / float(ht) / self.mapScale[1]
+        n_joints, n_frames = lbls_coord.shape[1], lbls_coord.shape[2]
+
+        lbls = np.zeros((n_frames, rsz_h, rsz_w, n_joints))
+        for i in range(n_frames):
+            for j in range(n_joints):
+                if self.sigma > 0:
+                    draw_labelmap_np(lbls[i, :, :, j], lbls_coord[:, j, i],
+                                     self.sigma)
+                else:
+                    tx, ty = int(lbls_coord[0, j, i]), int(lbls_coord[1, j, i])
+                    if 0 <= tx < rsz_w and 0 <= ty < rsz_h:
+                        lbls[i, ty, tx, j] = 1.0
+
+        lbls_tensor = np.zeros((frame_num, rsz_h, rsz_w, n_joints),
+                               np.float32)
+        for i in range(frame_num):
+            src = 0 if i < self.videoLen else min(i - self.videoLen,
+                                                  len(lbls) - 1)
+            lbls_tensor[i] = lbls[src]
+        # background channel (reference jhmdb.py:266)
+        bg = (lbls_tensor.sum(-1) == 0)[..., None].astype(np.float32)
+        lbls_tensor = np.concatenate([bg, lbls_tensor], axis=-1)
+
+        from matplotlib import cm
+
+        lblset = np.array([[0, 0, 0]] + [cm.Paired(i)[:3]
+                                         for i in range(n_joints)]) * 255.0
+
+        meta = dict(folder_path=folder_path, img_paths=img_paths,
+                    lbl_paths=[])
+        imgs = np.stack(imgs).astype(np.float32)
+        imgs_orig = np.stack(imgs_orig).astype(np.float32)
+        return imgs, imgs_orig, lbls_tensor, lbls_tensor, lblset, meta

@@ -1,0 +1,196 @@
+"""DAVIS-style VOS dataset for label propagation.
+
+Parity surface with reference ``code/data/vos.py`` (VOSDataset):
+
+- filelist of ``<jpeg_dir> <annotation_dir>`` lines (:116-128);
+- ``videoLen`` copies of frame 0 prepended (:148-156);
+- shorter-side resize to ``imgSize`` (:186-202), ImageNet normalization
+  (:173, :214) — note eval uses ImageNet stats, train uses CIFAR-style;
+- label set from frame 0's unique colors (:68-75, collapsed to single
+  channel when the palette is consecutive, :232-233);
+- one-hot + feature-resolution-resized label caches saved next to the data
+  (``*_onehot.npy`` / ``*_size{h}x{w}.npy``, :247-263);
+- ``texturize`` striped-label mode (:77-101) and LAB color for uvc (:206-212).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def load_image(path: str) -> np.ndarray:
+    """BGR file -> float32 RGB (H, W, 3) in [0, 1] (reference vos.py:44-51)."""
+    img = cv2.imread(path)
+    if img is None:
+        raise IOError(f"cannot read image: {path}")
+    return (img.astype(np.float32) / 255.0)[:, :, ::-1].copy()
+
+
+def resize_hw(img: np.ndarray, h: int, w: int,
+              interp=None) -> np.ndarray:
+    interp = interp if interp is not None else cv2.INTER_LINEAR
+    return cv2.resize(img, (w, h), interpolation=interp)
+
+
+def make_lbl_set(lbls: np.ndarray) -> np.ndarray:
+    """Unique frame-0 colors as the label set (reference vos.py:68-75)."""
+    flat = lbls[0].reshape(-1, lbls.shape[-1]).astype(np.uint8)
+    return np.unique(flat, axis=0)
+
+
+def texturize(onehot: np.ndarray) -> np.ndarray:
+    """Striped-label mode (reference vos.py:77-101): rows where any object
+    appears are split into up to 10 horizontal stripes."""
+    hidxs = [h for h in range(onehot.shape[0])
+             if np.any(onehot[h, :, 1:] == 1)]
+    nstripes = min(10, len(hidxs))
+    out = np.zeros((*onehot.shape[:2], nstripes + 1))
+    out[:, :, 0] = 1
+    for i, h in enumerate(hidxs):
+        cidx = int(i // (len(hidxs) / nstripes))
+        w = np.any(onehot[h, :, 1:] == 1, axis=-1)
+        out[h][w] = 0
+        out[h][w, cidx + 1] = 1
+    return out
+
+
+def try_np_load(p):
+    try:
+        return np.load(p)
+    except Exception:
+        return None
+
+
+class VOSDataset:
+    def __init__(self, args):
+        self.filelist = args.filelist
+        self.imgSize = args.imgSize
+        self.videoLen = args.videoLen
+        self.mapScale = args.mapScale
+        self.texture = args.texture
+        self.round = args.round
+        self.use_lab = getattr(args, "use_lab", False)
+
+        self.jpgfiles, self.lblfiles = [], []
+        with open(self.filelist) as f:
+            for line in f:
+                rows = line.split()
+                if not rows:
+                    continue
+                self.jpgfiles.append(rows[0])
+                self.lblfiles.append(rows[1])
+
+    def __len__(self):
+        return len(self.jpgfiles)
+
+    def make_paths(self, folder_path, label_path):
+        """Frame paths with ``videoLen`` frame-0 copies prepended
+        (reference vos.py:138-156)."""
+        I = sorted(os.listdir(folder_path), key=lambda x: int(x.split(".")[0]))
+        L = sorted((ll for ll in os.listdir(label_path) if "npy" not in ll),
+                   key=lambda x: int(x.split(".")[0]))
+        frame_num = len(I) + self.videoLen
+        I_out, L_out = [], []
+        for i in range(frame_num):
+            i = max(0, i - self.videoLen)
+            I_out.append(os.path.join(folder_path, I[i]))
+            L_out.append(os.path.join(label_path, L[i]))
+        return I_out, L_out
+
+    def __getitem__(self, index):
+        folder_path = self.jpgfiles[index]
+        label_path = self.lblfiles[index]
+        img_paths, lbl_paths = self.make_paths(folder_path, label_path)
+        frame_num = len(img_paths)
+
+        imgs, imgs_orig, lbls = [], [], []
+        for i in range(frame_num):
+            img = load_image(img_paths[i])
+            lblimg = cv2.imread(lbl_paths[i])
+            ht, wd = img.shape[:2]
+            if self.imgSize > 0:
+                # shorter-side resize (reference vos.py:186-202; the
+                # reference's ratio is hardcoded 1.0, i.e. square resize)
+                newh = neww = self.imgSize
+                img = resize_hw(img, newh, neww)
+                lblimg = cv2.resize(lblimg, (neww, newh),
+                                    interpolation=cv2.INTER_NEAREST)
+            else:
+                newh, neww = ht, wd
+            img_orig = img.copy()
+            if self.use_lab:
+                u8 = (img * 255).astype(np.uint8)[:, :, ::-1]  # RGB->BGR
+                lab = cv2.cvtColor(u8, cv2.COLOR_BGR2LAB).astype(np.float32)
+                lab = (lab - 128.0) / 128.0
+                img = np.stack([lab[..., 0]] * 3, axis=-1)
+            else:
+                img = ((img - np.asarray(IMAGENET_MEAN, np.float32))
+                       / np.asarray(IMAGENET_STD, np.float32))
+            imgs.append(img)
+            imgs_orig.append(img_orig)
+            lbls.append(lblimg.copy())
+
+        meta = dict(folder_path=folder_path, img_paths=img_paths,
+                    lbl_paths=lbl_paths)
+        lbls = np.stack(lbls)
+
+        lblset = make_lbl_set(lbls)
+        if lblset.shape[0] > 1 and np.all((lblset[1:] - lblset[:-1]) == 1):
+            lblset = lblset[:, 0:1]  # consecutive palette -> single channel
+
+        rsz_h = math.ceil(imgs[0].shape[0] / self.mapScale[0])
+        rsz_w = math.ceil(imgs[0].shape[1] / self.mapScale[1])
+
+        onehots, resizes = [], []
+        for i, p in enumerate(lbl_paths):
+            prefix = os.path.splitext(p)[0]
+            oh_path = f"{prefix}_onehot.npy"
+            rz_path = f"{prefix}_size{rsz_h}x{rsz_w}.npy"
+            onehot = try_np_load(oh_path)
+            if onehot is None:
+                onehot = np.stack([np.all(lbls[i] == ll, axis=-1)
+                                   for ll in lblset], axis=-1)
+                try:
+                    np.save(oh_path, onehot)
+                except OSError:
+                    pass
+            resized = try_np_load(rz_path)
+            if resized is None:
+                resized = cv2.resize(np.float32(onehot), (rsz_w, rsz_h),
+                                     interpolation=cv2.INTER_LINEAR)
+                try:
+                    np.save(rz_path, resized)
+                except OSError:
+                    pass
+            if self.texture:
+                texturized = texturize(resized)
+                resizes.append(texturized)
+                from matplotlib import cm
+
+                lblset = np.array(
+                    [[0, 0, 0]] + [cm.Paired(i)[:3]
+                                   for i in range(texturized.shape[-1])]) * 255.0
+                break
+            resizes.append(resized)
+            onehots.append(onehot)
+
+        if self.texture:
+            resizes = resizes * self.videoLen
+            for _ in range(len(lbl_paths) - self.videoLen):
+                resizes.append(np.zeros(resizes[0].shape))
+
+        imgs = np.stack(imgs).astype(np.float32)
+        imgs_orig = np.stack(imgs_orig).astype(np.float32)
+        lbls_resize = np.stack(resizes).astype(np.float32)
+        return imgs, imgs_orig, lbls_resize, lbls, lblset, meta

@@ -1,0 +1,93 @@
+"""Convert predicted color masks to official-resolution indexed DAVIS PNGs.
+
+Parity surface with reference ``code/eval/convert_davis.py``: map predicted
+mask colors -> palette indices, resize (nearest) to the annotation
+resolution, save palettized PNGs per video. The reference parallelizes with
+``multiprocessing.Pool(10)`` (:76-78); here a thread pool (cv2/PIL release
+the GIL).
+
+CLI: python -m videowalk_tpu.eval.convert_davis -i <masks> -o <out> -d <davis_root>
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+try:
+    import cv2
+    from PIL import Image
+except Exception:  # pragma: no cover
+    cv2 = Image = None
+
+from videowalk_tpu.eval import palette as palette_mod
+
+PALETTE = palette_mod.tensor.astype(np.uint8)
+
+
+def color2id_map(lblimg: np.ndarray) -> np.ndarray:
+    """Map an (H, W, 3) color mask to palette indices (reference :36-66)."""
+    flat = lblimg.reshape(-1, 3)
+    out = np.zeros(flat.shape[0], np.uint8)
+    for c in np.unique(flat, axis=0):
+        match = np.all(PALETTE == c, axis=-1)
+        if match.any():
+            cid = int(np.argmax(match))
+            out[np.all(flat == c, axis=-1)] = cid
+    return out.reshape(lblimg.shape[:2])
+
+
+def convert_video(vid_idx: int, video_name: str, in_folder: str,
+                  out_folder: str, annotations_folder: str) -> None:
+    gtfolder = os.path.join(annotations_folder, video_name)
+    outfolder = os.path.join(out_folder, video_name)
+    os.makedirs(outfolder, exist_ok=True)
+
+    files = [f for f in os.listdir(gtfolder) if f.endswith(".png")]
+    lblimg = cv2.imread(os.path.join(gtfolder, "00000.png"))
+    height, width = lblimg.shape[:2]
+
+    for j in range(len(files)):
+        inname = os.path.join(in_folder, f"{vid_idx}_{j}_mask.png")
+        # NB: no channel flip — the dataset reads annotations with cv2 (BGR),
+        # dump_predictions writes those triples via imageio (as RGB), and
+        # cv2.imread here flips back: the double-BGR cancels, exactly like
+        # the reference pipeline (vos.py:183 / test_utils.py:121 / :53-66).
+        lblimg = cv2.imread(inname)
+        lblidx = color2id_map(lblimg)
+        lblidx = cv2.resize(lblidx, (width, height),
+                            interpolation=cv2.INTER_NEAREST).astype(np.uint8)
+        im = Image.fromarray(lblidx)
+        im.putpalette(PALETTE.ravel())
+        im.save(os.path.join(outfolder, f"{j:05d}.png"), format="PNG")
+
+
+def convert_all(in_folder: str, out_folder: str, dataset_root: str,
+                workers: int = 10) -> list[str]:
+    annotations = os.path.join(dataset_root, "Annotations", "480p")
+    val_list = os.path.join(dataset_root, "ImageSets", "2017", "val.txt")
+    with open(val_list) as f:
+        videos = [line.strip() for line in f if line.strip()]
+    os.makedirs(out_folder, exist_ok=True)
+    with ThreadPoolExecutor(workers) as pool:
+        list(pool.map(
+            lambda iv: convert_video(iv[0], iv[1], in_folder, out_folder,
+                                     annotations),
+            enumerate(videos)))
+    return videos
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-o", "--out_folder", required=True, type=str)
+    parser.add_argument("-i", "--in_folder", required=True, type=str)
+    parser.add_argument("-d", "--dataset", required=True, type=str)
+    args = parser.parse_args(argv)
+    convert_all(args.in_folder, args.out_folder, args.dataset)
+
+
+if __name__ == "__main__":
+    main()

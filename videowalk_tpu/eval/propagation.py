@@ -1,0 +1,147 @@
+"""On-device autoregressive k-NN label propagation.
+
+Parity surface with the reference evaluator:
+
+- ``context_index_bank``  <-> code/utils/test_utils.py:129-145 (long-term
+  frame-0 anchors + sliding short-term window of ``n_context`` frames).
+- ``topk_affinity``       <-> code/utils/test_utils.py:148-179
+  (mem_efficient_batched_affinity): key/query dot products + radius mask +
+  temperature + top-k over source nodes + softmax over the kept k.
+- ``propagate_labels``    <-> code/test.py:141-160: for each target frame,
+  predicted soft labels = weighted sum of top-k context labels; predictions
+  are fed back into the label buffer (autoregressive).
+
+TPU-first re-design: the reference's double-minibatched einsum loop with CPU
+offload becomes a single ``lax.scan`` over target frames — the affinity for
+one target frame is one MXU matmul (C x [ctx*HW keys] x [HW queries]); the
+label buffer lives in HBM as scan carry; ``jax.lax.top_k`` replaces
+torch.topk. No host round-trips inside the loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from videowalk_tpu.core.masks import radius_mask
+
+
+def context_index_bank(n_context: int, long_mem: list[int], N: int) -> np.ndarray:
+    """Source-frame indices for each of N target frames.
+
+    Returns ``(N, L + n_context)`` int32 — for target t (0-based among
+    targets), columns are the long-term anchors then the short-term window
+    ``[t, t+1, ..., t+n_context-1]`` in the 0-padded global frame indexing
+    (targets start at global index ``n_context``).
+
+    Reference: code/utils/test_utils.py:129-145.
+    """
+    ll = []
+    for t in long_mem:
+        assert 0 <= t < N, "context frame out of bounds"
+        idx = np.zeros((N, 1), np.int64)
+        if t > 0:
+            idx += t + (n_context + 1)
+            idx[: n_context + t + 1] = 0
+        ll.append(idx)
+    ss = (np.arange(n_context)[None].repeat(N, 0)
+          + np.arange(N)[:, None])
+    return np.concatenate(ll + [ss], axis=-1).astype(np.int32)
+
+
+def _spatial_mask(H: int, W: int, radius: float) -> jnp.ndarray:
+    """(HW, HW) additive mask: 0 inside radius, -1e10 outside
+    (code/test.py:118-123)."""
+    D = radius_mask(H, W, radius).reshape(H * W, H * W)
+    return jnp.where(D > 0, 0.0, -1e10).astype(jnp.float32)
+
+
+def topk_affinity(query: jax.Array, keys: jax.Array, mask: jax.Array,
+                  temperature: float, topk: int, n_long: int
+                  ) -> tuple[jax.Array, jax.Array]:
+    """Top-k softmax affinities between one target frame and its context.
+
+    Args:
+      query: ``(C, HW)`` target-frame features (L2-normalized).
+      keys: ``(L, C, HW)`` context-frame features (L long-mem frames first).
+      mask: ``(HW, HW)`` additive radius mask (applied to short-term frames
+        only, like the reference: code/utils/test_utils.py:162).
+      temperature, topk: reference --temperature / --topk.
+      n_long: number of long-term frames (mask not applied to them).
+
+    Returns:
+      (weights, indices): ``(topk, HW)`` softmax weights over the selected
+      source nodes and their flat indices into ``(L * HW)``.
+    """
+    L, C, HW = keys.shape
+    A = jnp.einsum("lck,cq->lkq", keys, query,
+                   precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)   # (L, HW_k, HW_q)
+    if n_long < L:
+        A = A.at[n_long:].add(mask[None])
+    A = A.reshape(L * HW, HW) / temperature
+    weights, ids = jax.lax.top_k(A.T, topk)              # (HW_q, topk)
+    weights = jax.nn.softmax(weights, axis=-1)
+    return weights.T, ids.T                               # (topk, HW_q)
+
+
+@partial(jax.jit, static_argnames=("n_context", "n_long", "topk",
+                                   "temperature", "radius"))
+def propagate_labels(
+    feats: jax.Array,
+    labels0: jax.Array,
+    key_indices: jax.Array,
+    *,
+    n_context: int,
+    n_long: int,
+    topk: int,
+    temperature: float,
+    radius: float,
+) -> jax.Array:
+    """Autoregressive label propagation over a whole video, on device.
+
+    Args:
+      feats: ``(N_total, C, H, W)`` per-frame features, L2-normalized over C.
+        Frame indexing matches the reference's 0-padded videos: the first
+        ``n_context`` entries are copies of frame 0 (code/data/vos.py:148-156).
+      labels0: ``(N_total, H, W, L)`` soft label maps; entries at and after
+        ``n_context`` are ignored (they get overwritten by predictions, like
+        code/test.py:142 zeroing).
+      key_indices: ``(N_targets, n_long + n_context)`` from
+        ``context_index_bank``.
+
+    Returns:
+      ``(N_targets, H, W, L)`` predicted soft labels per target frame.
+    """
+    N, C, H, W = feats.shape
+    HW = H * W
+    n_lbl = labels0.shape[-1]
+    mask = _spatial_mask(H, W, radius)
+    feats_flat = feats.reshape(N, C, HW)
+    lbl_buf = labels0.reshape(N, HW, n_lbl)
+
+    def step(lbl_buf, idx_row):
+        t_global = idx_row[-1] + 1  # target frame = last short-term ctx + 1
+        keys = feats_flat[idx_row]                       # (L, C, HW)
+        ctx_lbls = lbl_buf[idx_row]                      # (L, HW, n_lbl)
+        query = jax.lax.dynamic_index_in_dim(
+            feats_flat, t_global, axis=0, keepdims=False)  # (C, HW)
+        weights, ids = topk_affinity(query, keys, mask, temperature, topk,
+                                     n_long)             # (topk, HW)
+        flat_lbls = ctx_lbls.reshape(-1, n_lbl)          # (L*HW, n_lbl)
+        picked = flat_lbls[ids]                          # (topk, HW, n_lbl)
+        pred = jnp.sum(picked * weights[..., None], axis=0)  # (HW, n_lbl)
+        # Reference quirk (code/test.py:156-160): the FIRST target's
+        # prediction is replaced by the ground-truth frame-0 labels, both in
+        # the buffer and in the output.
+        pred = jnp.where(t_global == n_context, lbl_buf[0], pred)
+        lbl_buf = jax.lax.dynamic_update_index_in_dim(
+            lbl_buf, pred, t_global, axis=0)
+        return lbl_buf, pred
+
+    _, preds = jax.lax.scan(step, lbl_buf, key_indices)
+    return preds.reshape(-1, H, W, n_lbl)

@@ -94,7 +94,7 @@ def make_dataset(args, transform):
 
 
 def train_one_epoch(args, models, steps, state, data_loader, epoch, mesh,
-                    rng, checkpoint_fn, device_slic_fn):
+                    rng, checkpoint_fn, device_slic_fn, vis=None):
     metric_logger = MetricLogger(delimiter="  ")
     metric_logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value}"))
     metric_logger.add_meter("clips/s",
@@ -102,10 +102,24 @@ def train_one_epoch(args, models, steps, state, data_loader, epoch, mesh,
     header = f"Epoch: [{epoch}]"
     host_rng = np.random.RandomState(args.seed + epoch)
 
+    if vis is not None:  # wandb/JSONL init (reference train.py:48-49)
+        vis.wandb_init(models)
+
+    profile_dir = getattr(args, "profile_dir", "")
+    profiling = False
+
     for step_i, (views, sp_mask, _label) in enumerate(
             metric_logger.log_every(data_loader, args.print_freq, header)):
         if step_i >= args.steps_per_epoch:
             break
+        # jax.profiler trace of steps 5..9 (TPU analogue of the reference's
+        # wall-clock + max-mem telemetry; SURVEY.md §5 tracing plan)
+        if profile_dir and epoch == 0 and step_i == 5 and not profiling:
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
+        if profiling and step_i == 10:
+            jax.profiler.stop_trace()
+            profiling = False
         start_time = time.time()
         # patch vs superpixel Bernoulli (reference train.py:54)
         grid = bool(host_rng.choice([True, False],
@@ -134,6 +148,11 @@ def train_one_epoch(args, models, steps, state, data_loader, epoch, mesh,
         loss = float(metrics["loss"])
         lr = float(multistep_lr(args.lr, steps["milestones"],
                                 args.lr_gamma)(int(state.step)))
+
+        if vis is not None:  # per-step loss + walk diagnostics
+            vis.log(dict(loss=loss))
+            vis.log({k: float(np.asarray(v).mean())
+                     for k, v in metrics.items() if k != "loss"})
 
         # stochastic checkpointing (reference train.py:76-77)
         if checkpoint_fn is not None and host_rng.random_sample() < 0.005:
@@ -289,13 +308,20 @@ def main(args):
                                 "gamma": args.lr_gamma},
                             epoch=epoch_, args=ck_args)
 
+    # Visualisation (reference train.py:238)
+    vis = None
+    if args.visualize:
+        from videowalk_tpu.utils.visualize import Visualize
+
+        vis = Visualize(args)
+
     print("Start training", end="\n" + "-" * 100 + "\n")
     start_time = time.time()
     rng = jax.random.PRNGKey(args.seed + 1234)
     for epoch in range(args.start_epoch, args.epochs):
         state = train_one_epoch(args, model, step_fns, state, data_loader,
                                 epoch, mesh, rng, checkpoint_fn,
-                                device_slic_fn)
+                                device_slic_fn, vis=vis)
 
     import datetime as _dt
 

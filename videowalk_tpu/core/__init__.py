@@ -17,6 +17,7 @@ from videowalk_tpu.core.walk import (
     xent_targets,
     walk_xent_loss,
     crw_walk_loss,
+    sk_targets_walk_loss,
 )
 from videowalk_tpu.core.sinkhorn import sinkhorn_knopp
 from videowalk_tpu.core.masks import radius_mask, make_dilation_kernel
@@ -32,6 +33,7 @@ __all__ = [
     "xent_targets",
     "walk_xent_loss",
     "crw_walk_loss",
+    "sk_targets_walk_loss",
     "sinkhorn_knopp",
     "radius_mask",
     "make_dilation_kernel",

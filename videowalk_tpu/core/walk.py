@@ -250,6 +250,80 @@ def palindrome_products_reference_assoc(
     return jnp.stack(AAs)
 
 
+def sk_targets_walk_loss(
+    q: jax.Array,
+    temperature: float,
+    *,
+    key: jax.Array | None = None,
+    edgedrop_rate: float = 0.0,
+    use_zero_softmax: bool = False,
+    sk_tol: float = 0.001,
+    sk_max_iter: int = 10,
+) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """Experimental Sinkhorn-Knopp-target walk loss (--sk-targets).
+
+    Reference: code/teacherstudent.py:174-182 (CRWBase's sk_targets branch):
+    the forward chain product ``a12_i = A12_0 @ ... @ A12_i`` is scored
+    against argmax targets from a Sinkhorn-normalized chain of
+    dropout-free transition products (targets are stop-gradient).
+
+    (The reference CRW class carries the ``sk_targets`` attribute but its
+    forward never branches on it — only CRWBase does; here the path is
+    usable from both models.)
+    """
+    from videowalk_tpu.core.sinkhorn import sinkhorn_knopp
+
+    T = q.shape[2]
+    if T < 3:
+        return jnp.asarray(0.0, jnp.float32), {}
+
+    As = affinity(q[:, :, :-1], q[:, :, 1:])   # (B, S, N, N)
+    As = jnp.moveaxis(As, 1, 0)                # (S, B, N, N)
+    sm = zero_softmax if use_zero_softmax else jax.nn.softmax
+    A12s_drop = As
+    if edgedrop_rate > 0:
+        assert key is not None
+        A12s_drop = edge_dropout(key, As, edgedrop_rate)
+    A12s = sm(A12s_drop / temperature, axis=-1)
+    Ats = sinkhorn_knopp(jnp.exp(As / temperature), tol=0.01, max_iter=100)
+
+    def dot(a, b):
+        return jnp.einsum("bij,bjk->bik", a, b,
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)
+
+    def step(carry, xs):
+        a12, at = carry
+        a12_i, at_i = xs
+        a12 = dot(a12, a12_i)
+        at = dot(at_i, at)
+        targets = jnp.argmax(
+            jax.lax.stop_gradient(
+                sinkhorn_knopp(at, tol=sk_tol, max_iter=sk_max_iter)),
+            axis=-1)                            # (B, N)
+        return (a12, at), (a12, targets)
+
+    (_, _), (a12s, targets) = jax.lax.scan(
+        step, (A12s[0], Ats[0]), (A12s[1:], Ats[1:]))
+
+    def cycle_loss(a12, tgt):
+        logits = jnp.log(a12 + EPS)
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        picked = jnp.take_along_axis(logits, tgt[..., None],
+                                     axis=-1)[..., 0]
+        loss = jnp.mean(lse - picked)
+        acc = jnp.mean((jnp.argmax(logits, -1) == tgt).astype(jnp.float32))
+        return loss, acc
+
+    losses, accs = jax.vmap(cycle_loss)(a12s, targets)
+    loss = jnp.sum(losses) / max(1, T - 2)
+    diags = {}
+    for i in range(T - 2):
+        diags[f"xent sk {i + 1}"] = losses[i]
+        diags[f"acc sk {i + 1}"] = accs[i]
+    return loss, diags
+
+
 def xent_targets(B: int, N: int) -> jax.Array:
     """Identity targets for cycle-consistency: each node returns to itself.
 

@@ -308,10 +308,18 @@ class CRW(nn.Module):
 
         key = (self.make_rng("dropout")
                if train and self.cfg.edgedrop_rate > 0 else None)
-        loss, diags = walk_lib.crw_walk_loss(
-            q, self.cfg.temperature,
-            key=key,
-            edgedrop_rate=self.cfg.edgedrop_rate if train else 0.0,
-            flip=self.cfg.flip,
-            use_zero_softmax=self.cfg.use_zero_softmax)
+        if self.cfg.sk_targets:
+            # Experimental --sk-targets path (usable here, unlike the
+            # reference CRW whose attribute is dead; see core/walk.py).
+            loss, diags = walk_lib.sk_targets_walk_loss(
+                q, self.cfg.temperature, key=key,
+                edgedrop_rate=self.cfg.edgedrop_rate if train else 0.0,
+                use_zero_softmax=self.cfg.use_zero_softmax)
+        else:
+            loss, diags = walk_lib.crw_walk_loss(
+                q, self.cfg.temperature,
+                key=key,
+                edgedrop_rate=self.cfg.edgedrop_rate if train else 0.0,
+                flip=self.cfg.flip,
+                use_zero_softmax=self.cfg.use_zero_softmax)
         return q, loss, diags

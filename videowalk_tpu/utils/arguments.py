@@ -176,6 +176,8 @@ def train_args(argv=None):
     parser.add_argument("--dtype", default="float32", type=str,
                         help="encoder compute dtype: float32 | bfloat16")
     parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--profile-dir", default="", type=str,
+                        help="write a jax.profiler trace of steps 5-9 here")
 
     args = parser.parse_args(argv)
 

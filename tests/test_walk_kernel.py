@@ -1,0 +1,80 @@
+"""Fused Pallas walk kernel vs. the XLA reference path (interpret mode on
+the CPU test platform; the same kernel compiles on TPU — see bench.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from videowalk_tpu.core.walk import crw_walk_loss
+from videowalk_tpu.ops.walk_kernel import fused_walk_loss
+
+
+def rand_q(B=2, C=128, T=5, N=49, seed=0):
+    rng = np.random.RandomState(seed)
+    q = rng.randn(B, C, T, N).astype(np.float32)
+    return jnp.asarray(q / np.linalg.norm(q, axis=1, keepdims=True))
+
+
+def test_fused_matches_xla_loss_and_diags():
+    q = rand_q()
+    l_ref, d_ref = crw_walk_loss(q, 0.05)
+    l_fused, d_fused = fused_walk_loss(q, 0.05)
+    np.testing.assert_allclose(float(l_fused), float(l_ref), rtol=1e-5)
+    for k in d_ref:
+        np.testing.assert_allclose(float(d_fused[k]), float(d_ref[k]),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_fused_gradients_match_xla():
+    q = rand_q(seed=1)
+    g_ref = jax.grad(lambda x: crw_walk_loss(x, 0.05)[0])(q)
+    g_fused = jax.grad(lambda x: fused_walk_loss(x, 0.05)[0])(q)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_fused_with_dropout_finite_and_plausible():
+    q = rand_q(T=6, seed=2)
+    loss, diags = fused_walk_loss(q, 0.05, key=jax.random.PRNGKey(0),
+                                  edgedrop_rate=0.1)
+    assert np.isfinite(float(loss))
+    # dropout perturbs but shouldn't explode relative to the clean loss
+    clean, _ = fused_walk_loss(q, 0.05)
+    assert abs(float(loss) - float(clean)) < 2.0
+    g = jax.grad(lambda x: fused_walk_loss(
+        x, 0.05, key=jax.random.PRNGKey(1), edgedrop_rate=0.1)[0])(q)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_fused_padded_nodes_noop():
+    """Zero (padded) node embeddings don't change the loss of valid nodes
+    when n_valid excludes them — the kernel's own padding path."""
+    q = np.asarray(rand_q(N=40, seed=3))
+    l40, _ = fused_walk_loss(jnp.asarray(q), 0.05)
+    l_ref, _ = crw_walk_loss(jnp.asarray(q), 0.05)
+    np.testing.assert_allclose(float(l40), float(l_ref), rtol=1e-5)
+
+
+def test_fused_tiny_T():
+    q = rand_q(T=2, seed=4)
+    loss, diags = fused_walk_loss(q, 0.05)
+    assert float(loss) == 0.0 and diags == {}
+
+
+def test_crw_model_fused_flag():
+    """fused_walk='on' (interpret mode on CPU) == fused_walk='off'."""
+    from videowalk_tpu.models import CRW, CRWConfig
+
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(1, 4, 4, 32, 32, 3).astype(np.float32))
+    outs = {}
+    for mode in ("off", "on"):
+        cfg = CRWConfig(model_type="scratch_zeropad", temperature=0.05,
+                        fused_walk=mode)
+        model = CRW(cfg)
+        v = model.init(jax.random.PRNGKey(0), x, train=False)
+        q, loss, _ = model.apply(v, x, train=False)
+        outs[mode] = float(loss)
+    np.testing.assert_allclose(outs["on"], outs["off"], rtol=1e-5)

@@ -64,6 +64,10 @@ class CRWConfig:
     dilation_kernel_size: int = 51
     # Compute dtype for the encoder trunk (walk math is always f32).
     dtype: jnp.dtype = jnp.float32
+    # Fused Pallas walk kernel (ops/walk_kernel.py): 'auto' uses it on TPU
+    # when the config allows (ZeroSoftmax, no flip/sk); 'on'/'off' force.
+    # Numerics match the XLA path to ~1e-4 (TPU VPU transcendentals).
+    fused_walk: str = "auto"
 
 
 class Head(nn.Module):
@@ -308,6 +312,14 @@ class CRW(nn.Module):
 
         key = (self.make_rng("dropout")
                if train and self.cfg.edgedrop_rate > 0 else None)
+        use_fused = (
+            self.cfg.fused_walk == "on"
+            or (self.cfg.fused_walk == "auto"
+                and jax.default_backend() == "tpu"))
+        use_fused = (use_fused and not self.cfg.flip
+                     and not self.cfg.sk_targets
+                     and self.cfg.use_zero_softmax
+                     and q.shape[3] <= 128)
         if self.cfg.sk_targets:
             # Experimental --sk-targets path (usable here, unlike the
             # reference CRW whose attribute is dead; see core/walk.py).
@@ -315,6 +327,12 @@ class CRW(nn.Module):
                 q, self.cfg.temperature, key=key,
                 edgedrop_rate=self.cfg.edgedrop_rate if train else 0.0,
                 use_zero_softmax=self.cfg.use_zero_softmax)
+        elif use_fused:
+            from videowalk_tpu.ops.walk_kernel import fused_walk_loss
+
+            loss, diags = fused_walk_loss(
+                q, self.cfg.temperature, key=key,
+                edgedrop_rate=self.cfg.edgedrop_rate if train else 0.0)
         else:
             loss, diags = walk_lib.crw_walk_loss(
                 q, self.cfg.temperature,

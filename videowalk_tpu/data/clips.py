@@ -161,6 +161,35 @@ def decode_frames(path: str, frame_idxs: Sequence[int]) -> np.ndarray:
         cap.release()
 
 
+class UniformClipSampler:
+    """Evenly-spaced ``num_clips_per_video`` clips per video, in order
+    (torchvision semantics; the reference imports it alongside
+    RandomClipSampler at code/train.py:18)."""
+
+    def __init__(self, clip_index: VideoClipIndex, num_clips_per_video: int):
+        self.clip_index = clip_index
+        self.num_clips_per_video = num_clips_per_video
+
+    def __iter__(self):
+        idxs = []
+        cum = self.clip_index.cumulative
+        for vi in range(len(cum) - 1):
+            n = cum[vi + 1] - cum[vi]
+            if n <= 0:
+                continue
+            take = self.num_clips_per_video
+            pos = np.linspace(cum[vi], cum[vi + 1] - 1, num=take)
+            idxs.extend(int(round(p)) for p in pos)
+        return iter(idxs)
+
+    def __len__(self):
+        nonempty = sum(
+            1 for vi in range(len(self.clip_index.cumulative) - 1)
+            if self.clip_index.cumulative[vi + 1]
+            - self.clip_index.cumulative[vi] > 0)
+        return nonempty * self.num_clips_per_video
+
+
 class RandomClipSampler:
     """At most ``max_clips_per_video`` random clips per video, shuffled
     (torchvision semantics; code/train.py:217-218)."""

@@ -62,8 +62,8 @@ def create_train_state(model, optimizer, example_batch, rng,
                        sp_mask=None) -> TrainState:
     """Initialize model variables + optimizer state."""
     init_rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1)}
-    variables = model.init(init_rngs, example_batch, sp_mask=sp_mask,
-                           train=False)
+    kwargs = {"sp_mask": sp_mask} if sp_mask is not None else {}
+    variables = model.init(init_rngs, example_batch, train=False, **kwargs)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(

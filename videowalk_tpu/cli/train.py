@@ -55,6 +55,7 @@ def model_config(args) -> CRWConfig:
         dilation_kernel_shape=args.dilation_kernel_shape,
         dilation_kernel_size=args.dilation_kernel_size,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        remat=getattr(args, "remat", False),
     )
 
 
@@ -108,10 +109,24 @@ def train_one_epoch(args, models, steps, state, data_loader, epoch, mesh,
     profile_dir = getattr(args, "profile_dir", "")
     profiling = False
 
+    device_augs = getattr(args, "augs_backend", "host") == "device"
+
     for step_i, (views, sp_mask, _label) in enumerate(
             metric_logger.log_every(data_loader, args.print_freq, header)):
         if step_i >= args.steps_per_epoch:
             break
+        if device_augs:
+            # batched on-TPU 3-view transform (ops/augs_device.py) replaces
+            # the host augmentation pipeline entirely
+            from videowalk_tpu.ops.augs_device import train_transform_device
+
+            views = train_transform_device(
+                jax.random.fold_in(rng, 7919 + int(state.step)),
+                jnp.asarray(views["raw"]),
+                img_size=args.img_size,
+                patch_size=int(args.patch_size[0]),
+                frame_aug=args.frame_aug or "",
+                frame_transforms=args.frame_transforms)
         # jax.profiler trace of steps 5..9 (TPU analogue of the reference's
         # wall-clock + max-mem telemetry; SURVEY.md §5 tracing plan)
         if profile_dir and epoch == 0 and step_i == 5 and not profiling:
@@ -181,7 +196,12 @@ def main(args):
 
     print("Preparing training dataloader", end="\n" + "-" * 100 + "\n")
     st = time.time()
-    transform_train = get_train_transforms(args)
+    if getattr(args, "augs_backend", "host") == "device":
+        from videowalk_tpu.data.augs import RawClipTransform
+
+        transform_train = RawClipTransform(args.img_size)
+    else:
+        transform_train = get_train_transforms(args)
     dataset = make_dataset(args, transform_train)
     if hasattr(dataset, "set_compactness"):
         print("Set Compactness at:", args.compactness)
@@ -216,6 +236,17 @@ def main(args):
     # init with one example batch
     example = dataset[next(iter(sampler)) if sampler is not None else 0]
     views0 = example[0]
+    if getattr(args, "augs_backend", "host") == "device":
+        from videowalk_tpu.ops.augs_device import train_transform_device
+
+        views0 = jax.tree_util.tree_map(
+            lambda x: np.asarray(x),
+            train_transform_device(
+                jax.random.PRNGKey(0), jnp.asarray(views0["raw"][None]),
+                img_size=args.img_size, patch_size=int(args.patch_size[0]),
+                frame_aug=args.frame_aug or "",
+                frame_transforms=args.frame_transforms))
+        views0 = {k: v[0] for k, v in views0.items()}
     rng0 = jax.random.PRNGKey(args.seed)
     if args.prob > 0 or args.teacher_student:
         state = create_train_state(

@@ -191,6 +191,23 @@ class TrainTransform:
                 "whole_unnorm": whole_unnorm}
 
 
+class RawClipTransform:
+    """Minimal host transform for the device-augmentation pipeline
+    (--augs-backend device): resize decoded frames to a uniform square and
+    keep them uint8; the batched on-TPU transform
+    (videowalk_tpu/ops/augs_device.py) does the real augmentation."""
+
+    def __init__(self, img_size: int = 256, decode_margin: float = 1.125):
+        # keep some margin so the device RandomResizedCrop still has room
+        self.size = int(img_size * decode_margin)
+
+    def __call__(self, vid: np.ndarray) -> dict[str, np.ndarray]:
+        out = np.stack([
+            cv2.resize(v, (self.size, self.size),
+                       interpolation=cv2.INTER_LINEAR) for v in vid])
+        return {"raw": out}
+
+
 def get_train_transforms(args) -> TrainTransform:
     """Build the training transform from the reference's flag surface
     (code/utils/augs.py:139; flags at code/utils/arguments.py:160-169)."""

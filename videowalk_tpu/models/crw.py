@@ -64,6 +64,8 @@ class CRWConfig:
     dilation_kernel_size: int = 51
     # Compute dtype for the encoder trunk (walk math is always f32).
     dtype: jnp.dtype = jnp.float32
+    # Rematerialize encoder blocks in backward (memory for FLOPs).
+    remat: bool = False
     # Fused Pallas walk kernel (ops/walk_kernel.py): 'auto' uses it on TPU
     # when the config allows (ZeroSoftmax, no flip/sk); 'on'/'off' force.
     # Numerics match the XLA path to ~1e-4 (TPU VPU transcendentals).
@@ -218,7 +220,8 @@ class CRW(nn.Module):
 
     def setup(self):
         self.spec: EncoderSpec = make_encoder(
-            self.cfg.model_type, self.cfg.remove_layers, dtype=self.cfg.dtype)
+            self.cfg.model_type, self.cfg.remove_layers, dtype=self.cfg.dtype,
+            remat=self.cfg.remat)
         self.encoder = self.spec.module
         self.selfsim_fc = Head(
             in_dim=self.spec.hid_dim, depth=self.cfg.head_depth,

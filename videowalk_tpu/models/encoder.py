@@ -72,6 +72,7 @@ def make_encoder(
     remove_layers: Sequence[str] = (),
     dtype: Any = jnp.float32,
     pretrained_path: str | None = None,
+    remat: bool = False,
 ) -> EncoderSpec:
     """Build an encoder by reference model-type name.
 
@@ -90,19 +91,19 @@ def make_encoder(
     remove_layers = tuple(remove_layers)
     needs_ckpt = None
     if model_type == "scratch":
-        trunk = resnet18("reflect", remove_layers, dtype=dtype)
+        trunk = resnet18("reflect", remove_layers, dtype=dtype, remat=remat)
     elif model_type == "scratch_zeropad":
-        trunk = resnet18("zeros", remove_layers, dtype=dtype)
+        trunk = resnet18("zeros", remove_layers, dtype=dtype, remat=remat)
     elif model_type == "scratch50":
-        trunk = resnet50("reflect", remove_layers, dtype=dtype)
+        trunk = resnet50("reflect", remove_layers, dtype=dtype, remat=remat)
     elif model_type == "imagenet18":
-        trunk = resnet18("zeros", remove_layers, dtype=dtype)
+        trunk = resnet18("zeros", remove_layers, dtype=dtype, remat=remat)
         needs_ckpt = "imagenet resnet18 .pth"
     elif model_type in ("imagenet50", "moco50", "timecycle"):
-        trunk = resnet50("zeros", remove_layers, dtype=dtype)
+        trunk = resnet50("zeros", remove_layers, dtype=dtype, remat=remat)
         needs_ckpt = f"{model_type} .pth"
     elif model_type == "uvc":
-        trunk = resnet18("zeros", remove_layers, dtype=dtype)
+        trunk = resnet18("zeros", remove_layers, dtype=dtype, remat=remat)
         needs_ckpt = "uvc .pth.tar"
     else:
         raise ValueError(f"invalid model_type: {model_type!r}")

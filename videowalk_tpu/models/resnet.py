@@ -161,6 +161,11 @@ class ResNet(nn.Module):
     padding_mode: str = "zeros"
     remove_layers: Sequence[str] = ()
     dtype: jnp.dtype = jnp.float32
+    # Rematerialize blocks in the backward pass (jax.checkpoint): trades
+    # ~30% more FLOPs for O(depth) less activation memory — needed for the
+    # reference's large-activation regime (stride-1 layer3/4 keep 32x32
+    # maps at 256^2 inputs; SURVEY.md §7 hard parts).
+    remat: bool = False
 
     @property
     def hid_dim(self) -> int:
@@ -188,10 +193,14 @@ class ResNet(nn.Module):
                 continue
             filters = widths[stage]
             out_features = filters * self.block_cls.expansion
+            block_cls = self.block_cls
+            if self.remat:
+                block_cls = nn.remat(self.block_cls,
+                                     static_argnums=(2,))
             for blk in range(self.stage_sizes[stage]):
                 stride = self.stage_strides[stage] if blk == 0 else 1
                 use_projection = (stride != 1) or (in_features != out_features)
-                x = self.block_cls(
+                x = block_cls(
                     filters=filters, stride=stride,
                     padding_mode=self.padding_mode,
                     use_projection=use_projection,
@@ -211,13 +220,14 @@ def resnet18(
     remove_layers: Sequence[str] = (),
     modify_stride: bool = True,
     dtype=jnp.float32,
+    remat: bool = False,
 ) -> ResNet:
     """ResNet-18 trunk (reference ctor code/resnet.py:66-68 + modify)."""
     return ResNet(
         block_cls=BasicBlock, stage_sizes=(2, 2, 2, 2),
         stage_strides=_encoder_strides(modify_stride),
         padding_mode=padding_mode, remove_layers=tuple(remove_layers),
-        dtype=dtype)
+        dtype=dtype, remat=remat)
 
 
 def resnet50(
@@ -225,10 +235,11 @@ def resnet50(
     remove_layers: Sequence[str] = (),
     modify_stride: bool = True,
     dtype=jnp.float32,
+    remat: bool = False,
 ) -> ResNet:
     """ResNet-50 trunk (reference ctor code/resnet.py:71-73 + modify)."""
     return ResNet(
         block_cls=Bottleneck, stage_sizes=(3, 4, 6, 3),
         stage_strides=_encoder_strides(modify_stride),
         padding_mode=padding_mode, remove_layers=tuple(remove_layers),
-        dtype=dtype)
+        dtype=dtype, remat=remat)

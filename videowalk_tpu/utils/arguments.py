@@ -178,6 +178,12 @@ def train_args(argv=None):
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--profile-dir", default="", type=str,
                         help="write a jax.profiler trace of steps 5-9 here")
+    parser.add_argument("--remat", default=False, action="store_true",
+                        help="rematerialize encoder blocks in backward "
+                             "(memory for ~30% FLOPs; big-batch 256px runs)")
+    parser.add_argument("--augs-backend", default="host", type=str,
+                        help="host (numpy/cv2 in loader threads) | device "
+                             "(batched on-TPU 3-view transform)")
 
     args = parser.parse_args(argv)
 
@@ -191,6 +197,11 @@ def train_args(argv=None):
         args.sp_method = "none"
     elif args.prob == 0:
         args.frame_aug = "none"
+
+    if args.augs_backend == "device":
+        # device augmentation implies device superpixels (the host never
+        # sees the augmented frames)
+        args.sp_backend = "device"
 
     if args.max_sp_num < 0:
         margin = (args.randomise_superpixels_range // 2

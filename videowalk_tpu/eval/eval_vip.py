@@ -43,6 +43,8 @@ def compute_hist(pre_dir: str, gt_dir: str) -> np.ndarray:
             img_path = os.path.join(vdir, img_name)
             label_path = os.path.join(gt_dir, vid,
                                       img_name.replace(".jpg", ".png"))
+            if not os.path.exists(label_path):
+                continue  # skip blend jpgs etc. (no matching GT frame)
             label_array = np.array(Image.open(label_path), dtype=np.int32)
             image = cv2.imread(img_path)
             if image.shape[:2] != label_array.shape[:2]:

@@ -93,6 +93,33 @@ def make_grid(imgs: np.ndarray, nrow: int, padding: int = 1,
     return out
 
 
+def draw_matches(x1, x2, i1, i2):
+    """Brute-force keypoint correspondence drawing (reference :63-94):
+    match feature columns of two frames with cv2.BFMatcher and render the
+    matches over the resized frames. x1/x2: (C, N) features; i1/i2:
+    (3, H, W) images in [0, 1]."""
+    def detach(x):
+        return np.asarray(x).transpose(1, 2, 0) * 255
+
+    i1, i2 = detach(i1), detach(i2)
+    i1 = cv2.resize(i1, (400, 400))
+    i2 = cv2.resize(i2, (400, 400))
+
+    bf = cv2.BFMatcher(cv2.NORM_L2, crossCheck=True)
+    h = int(np.asarray(x1).shape[-1] ** 0.5)
+    matches = bf.match(np.asarray(x1).T.astype(np.float32),
+                       np.asarray(x2).T.astype(np.float32))
+    scale = i1.shape[-2] / h
+    gx, gy = np.meshgrid(np.arange(h), np.arange(h))
+    grid = np.stack([gx.ravel(), gy.ravel()]) * scale + scale // 2
+    kps = [cv2.KeyPoint(float(grid[0][i]), float(grid[1][i]), 1)
+           for i in range(grid.shape[-1])]
+    matches = sorted(matches, key=lambda m: m.distance)
+    out = cv2.drawMatches(i1.astype(np.uint8), kps, i2.astype(np.uint8),
+                          kps, matches, None, flags=2)
+    return out.transpose(2, 0, 1)
+
+
 def compute_flow(corr: np.ndarray):
     """Argmax-correspondence flow from an affinity map
     (reference :164-183). corr: (N, HW, HW)."""

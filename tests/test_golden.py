@@ -8,7 +8,6 @@ history); any drift indicates a semantic change to the loss path.
 """
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

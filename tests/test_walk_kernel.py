@@ -2,7 +2,6 @@
 the CPU test platform; the same kernel compiles on TPU — see bench.py)."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,6 @@ TPU-first re-design highlights:
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,6 @@ bias-free head (code/model.py:52).
 
 from __future__ import annotations
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp

@@ -9,9 +9,7 @@ code/train.py:54-66, so each branch is a static jit specialization).
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import Any, Callable, Mapping, Sequence
+from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp

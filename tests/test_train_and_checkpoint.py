@@ -188,6 +188,30 @@ def test_save_load_checkpoint_pth(tmp_path):
         np.asarray(variables["params"]["head"]["fc0"]["kernel"]))
 
 
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Native orbax backend preserves the full training state (including
+    optimizer state, which the .pth shim stores as a numpy pytree)."""
+    from videowalk_tpu.utils.checkpoint import (load_checkpoint_orbax,
+                                                save_checkpoint_orbax)
+
+    model, optimizer, state = make_model_and_state()
+    tree = {"params": state.params, "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state, "step": int(state.step)}
+    d = os.path.join(tmp_path, "orbax_ckpt")
+    save_checkpoint_orbax(d, tree, metadata={"epoch": 2})
+    restored, meta = load_checkpoint_orbax(d)
+    assert meta["epoch"] == 2
+    for a, b in zip(jax.tree_util.tree_leaves(tree["params"]),
+                    jax.tree_util.tree_leaves(restored["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer state (adam mu/nu + count) round-trips too
+    a_leaves = jax.tree_util.tree_leaves(tree["opt_state"])
+    b_leaves = jax.tree_util.tree_leaves(restored["opt_state"])
+    assert len(a_leaves) == len(b_leaves)
+    for a, b in zip(a_leaves, b_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_teacher_student_torch_keys():
     cfg = CRWConfig(model_type="scratch_zeropad", head_bias=True,
                     use_zero_softmax=False)

@@ -329,6 +329,18 @@ def main(args):
                      "batch_stats": jax.device_get(state_.batch_stats)}
         ck_args = {k: v for k, v in vars(args).items()
                    if isinstance(v, (int, float, str, bool, list, tuple))}
+        if getattr(args, "ckpt_format", "pth") == "orbax":
+            from videowalk_tpu.utils.checkpoint import save_checkpoint_orbax
+
+            save_checkpoint_orbax(
+                os.path.join(args.output_dir, f"orbax_{epoch_}"),
+                {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"],
+                 "opt_state": jax.device_get(state_.opt_state),
+                 "step": int(state_.step)},
+                metadata={"epoch": epoch_, "milestones": list(milestones),
+                          "gamma": args.lr_gamma, "args": ck_args})
+            return
         for path in (os.path.join(args.output_dir, f"model_{epoch_}.pth"),
                      os.path.join(args.output_dir, "checkpoint.pth")):
             save_checkpoint(path, variables,

@@ -184,6 +184,10 @@ def train_args(argv=None):
     parser.add_argument("--augs-backend", default="host", type=str,
                         help="host (numpy/cv2 in loader threads) | device "
                              "(batched on-TPU 3-view transform)")
+    parser.add_argument("--ckpt-format", default="pth", type=str,
+                        help="pth (reference-compatible torch dict) | orbax "
+                             "(native sharded checkpoints; also writes the "
+                             "optimizer state losslessly)")
 
     args = parser.parse_args(argv)
 

@@ -264,3 +264,45 @@ def load_checkpoint(path: str) -> dict:
             pass
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+# ----------------------------------------------------- orbax native format
+
+
+def save_checkpoint_orbax(directory: str, state_pytree: Any,
+                          metadata: Mapping | None = None) -> None:
+    """Write the training state as a native orbax checkpoint.
+
+    Production alternative to the reference-compatible ``.pth`` writer:
+    orbax handles large sharded arrays, atomic renames, and async saves.
+    ``metadata`` (epoch/args/schedule) rides along as a JSON sidecar.
+    """
+    import json
+    import os
+
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(directory, _to_numpy_tree(state_pytree), force=True)
+    if metadata is not None:
+        with open(os.path.join(directory, "metadata.json"), "w") as f:
+            json.dump(dict(metadata), f)
+
+
+def load_checkpoint_orbax(directory: str) -> tuple[Any, dict]:
+    """Read an orbax checkpoint; returns (state_pytree, metadata)."""
+    import json
+    import os
+
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = ckptr.restore(directory)
+    meta_path = os.path.join(directory, "metadata.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return tree, meta

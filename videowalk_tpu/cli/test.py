@@ -56,7 +56,9 @@ def encode_video(model, variables, imgs: np.ndarray, batch_size: int = 5,
 
     feats = []
     N = imgs.shape[0]
-    # fixed minibatch with padding: one compile for all videos
+    # fixed minibatch with padding: one compile for all videos; chunks stay
+    # on device (no host round-trips — the reference offloads each chunk to
+    # CPU, code/test.py:89, which costs dearly through a remote tunnel)
     for b in range(0, N, batch_size):
         chunk = imgs[b:b + batch_size]
         pad = batch_size - chunk.shape[0]
@@ -64,12 +66,12 @@ def encode_video(model, variables, imgs: np.ndarray, batch_size: int = 5,
             chunk = np.concatenate(
                 [chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
         m = enc(variables, jnp.asarray(chunk)[None])[0]
-        feats.append(np.asarray(m[:m.shape[0] - pad if pad else batch_size]))
-    feats = np.concatenate(feats)[:N]            # (N, H', W', C)
-    feats = np.moveaxis(feats, -1, 1)            # (N, C, H', W')
+        feats.append(m[:batch_size - pad] if pad else m)
+    feats = jnp.concatenate(feats)[:N]           # (N, H', W', C)
+    feats = jnp.moveaxis(feats, -1, 1)           # (N, C, H', W')
     if l2:
-        norm = np.linalg.norm(feats, axis=1, keepdims=True)
-        feats = feats / np.maximum(norm, 1e-12)
+        norm = jnp.linalg.norm(feats, axis=1, keepdims=True)
+        feats = feats / jnp.maximum(norm, 1e-12)
     return feats
 
 

@@ -298,6 +298,11 @@ def main(args):
     # Mesh (replaces DataParallel, reference train.py:260-262)
     mesh = None
     if args.data_parallel and len(jax.devices()) > 1:
+        n_dev = len(jax.devices())
+        if args.batch_size % n_dev:
+            raise ValueError(
+                f"--data-parallel needs --batch-size divisible by the "
+                f"{n_dev} local devices (got {args.batch_size})")
         mesh = make_mesh()
         state = replicate(state, mesh)
 

@@ -181,13 +181,17 @@ def superpixel_pool_weights(
 
     if dilate:
         # One-hot at pixel resolution (required: dilated masks overlap).
+        # bf16 through the morphology (values are exactly 0/1; halves the
+        # (B,T,SP,h,w) HBM footprint — the reference uses f16 for the same
+        # reason, code/model.py:306); counts reduce in f32.
         onehot = (sp_mask[:, :, None, :, :]
                   == jnp.arange(max_sp_num)[None, None, :, None, None])
-        onehot = onehot.astype(jnp.float32)
+        onehot = onehot.astype(jnp.bfloat16)
         onehot = dilate_onehot(onehot, dilation_kernel_size,
                                dilation_kernel_shape)
         # Window counts: sum one-hot over each (wh, ww) tile.
-        counts = onehot.reshape(B, T, max_sp_num, H, wh, W, ww).sum((4, 6))
+        counts = (onehot.astype(jnp.float32)
+                  .reshape(B, T, max_sp_num, H, wh, W, ww).sum((4, 6)))
         counts = jnp.moveaxis(counts, 2, -1)  # (B, T, H, W, SP)
     else:
         # Histogram per window without materializing pixel-level one-hot:

@@ -306,6 +306,10 @@ def main(args):
         mesh = make_mesh()
         state = replicate(state, mesh)
 
+    # donate=False: with probabilistic patch/superpixel mixing the state
+    # alternates between two jitted step fns — donation would require the
+    # donated buffers to match the next callee's layout; the copy cost is
+    # ~45 MB/step (params+opt) and negligible next to the step itself.
     step_fns = {
         "patch": make_train_step(model, optimizer, donate=False,
                                  frozen_prefixes=frozen),

@@ -1,0 +1,109 @@
+"""Edge-path coverage: cj/flip transforms, SingleVideoDataset, texturize,
+flip-walk CLI config, randomise-superpixels host path, meters."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from videowalk_tpu.data.augs import TrainTransform
+from videowalk_tpu.data.video import SingleVideoDataset
+from videowalk_tpu.data.vos import texturize
+from videowalk_tpu.utils.meters import MetricLogger, SmoothedValue
+
+
+def test_train_transform_cj_flip():
+    rng = np.random.RandomState(0)
+    vid = (rng.rand(2, 80, 80, 3) * 255).astype(np.uint8)
+    tf = TrainTransform(img_size=64, frame_transforms="crop-cj-flip",
+                        frame_aug="grid-cj-flip", patch_size=(16, 16, 3),
+                        rng=np.random.RandomState(1))
+    out = tf(vid)
+    assert out["grid"].shape == (2, 49, 16, 16, 3)
+    assert np.isfinite(out["grid"]).all()
+    # unnormalized view stays in [0, 1] after cj
+    assert out["whole_unnorm"].min() >= 0 and out["whole_unnorm"].max() <= 1
+
+
+def test_single_video_dataset():
+    video = np.arange(20 * 8 * 8 * 3).reshape(20, 8, 8, 3).astype(np.uint8)
+    ds = SingleVideoDataset(video, clip_len=4, fps_range=(1, 3),
+                            n_clips=10, seed=0)
+    assert len(ds) == 10
+    clip = ds[0]
+    assert clip.shape == (4, 8, 8, 3)
+
+
+def test_texturize_stripes():
+    """Striped-label mode splits the object rows into stripes
+    (reference vos.py:77-101)."""
+    onehot = np.zeros((16, 16, 2))
+    onehot[:, :, 0] = 1
+    onehot[4:12, 5:10, 0] = 0
+    onehot[4:12, 5:10, 1] = 1
+    out = texturize(onehot)
+    assert out.shape[:2] == (16, 16)
+    assert out.shape[-1] >= 2
+    # background channel everywhere outside the object
+    assert out[0, 0, 0] == 1
+    # object rows have non-background stripes
+    assert out[6, 7, 0] == 0 and out[6, 7, 1:].sum() == 1
+
+
+def test_flip_walk_in_model():
+    """--flip ('bug' parity variant) through the full model."""
+    from videowalk_tpu.models import CRW, CRWConfig
+
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(1, 4, 4, 32, 32, 3).astype(np.float32))
+    cfg = CRWConfig(model_type="scratch_zeropad", temperature=0.05,
+                    flip=True, fused_walk="off")
+    model = CRW(cfg)
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    q, loss, diags = model.apply(v, x, train=False)
+    assert np.isfinite(float(loss))
+    assert "xent cyc l1" in diags  # 'l' tag for the flip variant
+
+
+def test_sp_method_random_host():
+    """--sp-method random picks slic/fh per clip (superpixels.py:28-33)."""
+    from videowalk_tpu.data.superpixels import compute_mask
+
+    rng = np.random.RandomState(0)
+    video = rng.rand(2, 3, 32, 32).astype(np.float32)  # (T, C, H, W)
+    m_slic = compute_mask(video, "random", 6, 1.0, False, 4, 30.0,
+                          rng=np.random.RandomState(1))
+    m_fh = compute_mask(video, "random", 6, 0.0, False, 4, 30.0,
+                        rng=np.random.RandomState(1))
+    assert m_slic.shape == m_fh.shape == (2, 3, 32, 32)
+
+
+def test_meters_formats():
+    sv = SmoothedValue(window_size=3, fmt="{median:.1f}|{global_avg:.1f}")
+    for v in (1.0, 2.0, 3.0, 4.0):
+        sv.update(v)
+    assert sv.median == 3.0          # torch-style lower middle of [2,3,4]
+    assert sv.global_avg == 2.5
+    assert sv.max == 4.0 and sv.value == 4.0
+    assert str(sv) == "3.0|2.5"
+
+    ml = MetricLogger()
+    ml.update(loss=1.0)
+    ml.update(loss=3.0)
+    assert ml.loss.global_avg == 2.0
+    out = list(ml.log_every([1, 2, 3], print_freq=2, header="t"))
+    assert out == [1, 2, 3]
+
+
+def test_sk_targets_in_model():
+    from videowalk_tpu.models import CRW, CRWConfig
+
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(1, 4, 4, 32, 32, 3).astype(np.float32))
+    cfg = CRWConfig(model_type="scratch_zeropad", temperature=0.05,
+                    sk_targets=True)
+    model = CRW(cfg)
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    q, loss, diags = model.apply(v, x, train=False)
+    assert np.isfinite(float(loss))
+    assert "xent sk 1" in diags

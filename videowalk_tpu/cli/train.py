@@ -63,7 +63,12 @@ def make_dataset(args, transform):
     """Kinetics tree, or frame-folder filelist (reference train.py:159-189)."""
     traindir = os.path.join(
         args.data_path, "train_256" if not args.fast_test else "val_256")
-    if "kinetics" in args.data_path.lower() or os.path.isdir(traindir):
+    # Any directory is treated as a Kinetics-style <root>/<class>/*.mp4 tree
+    # (the reference's ImageFolder HACK branch for image datasets,
+    # code/train.py:179-180, is intentionally unsupported — see STATUS.md);
+    # a non-directory path is a VideoList filelist.
+    if ("kinetics" in args.data_path.lower() or os.path.isdir(traindir)
+            or os.path.isdir(args.data_path)):
         cached = None
         if args.cache_dataset and os.path.exists(args.cache_path):
             print(f"Loading dataset metadata from {args.cache_path}")

@@ -62,6 +62,22 @@ def test_fused_tiny_T():
     assert float(loss) == 0.0 and diags == {}
 
 
+import pytest
+
+
+@pytest.mark.parametrize("T,N", [(3, 16), (4, 49), (6, 100), (8, 49)])
+def test_fused_shape_sweep(T, N):
+    """Fused kernel == XLA path across clip lengths and node counts."""
+    q = rand_q(B=2, T=T, N=N, seed=T * 100 + N)
+    l_ref, _ = crw_walk_loss(q, 0.07)
+    l_fused, _ = fused_walk_loss(q, 0.07)
+    np.testing.assert_allclose(float(l_fused), float(l_ref), rtol=1e-5)
+    g_ref = jax.grad(lambda x: crw_walk_loss(x, 0.07)[0])(q)
+    g_fused = jax.grad(lambda x: fused_walk_loss(x, 0.07)[0])(q)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_crw_model_fused_flag():
     """fused_walk='on' (interpret mode on CPU) == fused_walk='off'."""
     from videowalk_tpu.models import CRW, CRWConfig

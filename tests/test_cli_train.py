@@ -85,3 +85,33 @@ def test_train_main_superpixel_host_backend(kinetics_dir, tmp_path):
                         "--sp-backend": ["host"]})
     state = main(args)
     assert int(state.step) == 2
+
+
+@pytest.fixture(scope="module")
+def image_folder_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("imgs") / "image_synth"
+    for cls in ("a", "b"):
+        (root / cls).mkdir(parents=True)
+        rng = np.random.RandomState(hash(cls) % 1000)
+        for i in range(3):
+            img = rng.randint(0, 255, (72, 72, 3), np.uint8)
+            cv2.imwrite(str(root / cls / f"img{i}.jpg"), img)
+    return str(root)
+
+
+def test_train_main_image_folder(image_folder_dir, tmp_path):
+    """Image-dataset training (the reference's ImageFolder HACK branch,
+    code/train.py:179-180 — functional here via static clips of
+    independently augmented views; see data/image_folder.py)."""
+    from videowalk_tpu.cli.train import main
+    from videowalk_tpu.data.image_folder import ImageFolder, is_image_folder
+
+    assert is_image_folder(image_folder_dir)
+    ds = ImageFolder(image_folder_dir, clip_len=4)
+    assert len(ds) == 6
+    views, sp_mask, label = ds[0]
+    assert views["grid"].shape[0] == 4 and label in (0, 1)
+
+    args = make_args(image_folder_dir, tmp_path)
+    state = main(args)
+    assert int(state.step) == 2

@@ -207,3 +207,55 @@ def test_walk_xent_loss_matches_torch_ce():
 def test_xent_targets():
     t = np.asarray(xent_targets(2, 3))
     np.testing.assert_array_equal(t, [0, 1, 2, 0, 1, 2])
+
+
+def test_zero_diagonal_reaches_the_loss():
+    """--zero-diagonal wiring (VERDICT round-1 weak #5): diagonal transition
+    probability is exactly zero and the loss differs from the unzeroed one.
+    Oracle: the reference's zeroout_diag semantics (code/model.py:58-61,
+    A * (1 - eye) before dropout/softmax) applied with torch."""
+    import torch
+
+    from videowalk_tpu.core import walk
+
+    rng = np.random.RandomState(11)
+    B, C, T, N = 2, 16, 4, 7
+    q = rng.randn(B, C, T, N).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    A12s, A21s = walk.transition_matrices(
+        jnp.asarray(q), 0.07, zero_diagonal=True)
+    diag = np.diagonal(np.asarray(A12s), axis1=-2, axis2=-1)
+    np.testing.assert_array_equal(diag, np.zeros_like(diag))
+
+    # torch oracle for one step
+    qt = torch.from_numpy(q)
+    At = torch.einsum("bctn,bctm->btnm", qt[:, :, :-1], qt[:, :, 1:])
+    A0 = At[:, 0] * (1.0 - torch.eye(N))
+    x = (A0 / 0.07).expm1().pow(2)
+    oracle = (x / (x.sum(-1, keepdim=True) + 1e-5)).numpy()
+    np.testing.assert_allclose(np.asarray(A12s[0]), oracle, rtol=1e-4,
+                               atol=1e-6)
+
+    loss_zd, _ = walk.crw_walk_loss(jnp.asarray(q), 0.07, zero_diagonal=True)
+    loss, _ = walk.crw_walk_loss(jnp.asarray(q), 0.07)
+    assert not np.isclose(float(loss_zd), float(loss))
+
+
+def test_zero_diagonal_config_plumbed_through_model():
+    """CRWConfig.zero_diagonal changes the model loss (end-to-end wiring)."""
+    import jax
+
+    from videowalk_tpu.models.crw import CRW, CRWConfig
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(1, 3, 4, 32, 32, 3).astype(np.float32))
+    losses = {}
+    for zd in (False, True):
+        cfg = CRWConfig(model_type="scratch_zeropad", temperature=0.05,
+                        zero_diagonal=zd)
+        m = CRW(cfg)
+        v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        _, loss, _ = m.apply(v, x, train=False)
+        losses[zd] = float(loss)
+    assert not np.isclose(losses[True], losses[False])

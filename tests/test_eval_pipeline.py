@@ -121,5 +121,7 @@ def test_davis_metrics_perfect_and_empty(davis_root, tmp_path):
     from videowalk_tpu.eval.davis_metrics import evaluate_sequence
 
     ann = os.path.join(davis_root, "Annotations", "480p", "video0")
-    m = evaluate_sequence(ann, ann)
-    assert m["J"] == 1.0 and m["F"] == 1.0
+    per_obj = evaluate_sequence(ann, ann)
+    assert per_obj, "expected at least one object track"
+    for scores in per_obj.values():
+        assert scores["J"] == 1.0 and scores["F"] == 1.0

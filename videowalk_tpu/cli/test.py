@@ -20,7 +20,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from videowalk_tpu.eval.propagation import context_index_bank, propagate_labels
+from functools import partial
+
+from videowalk_tpu.eval.propagation import (context_index_bank,
+                                            propagate_labels_bucketed)
 from videowalk_tpu.eval import test_utils
 from videowalk_tpu.models import CRW, CRWConfig
 from videowalk_tpu.models.encoder import make_encoder
@@ -39,6 +42,16 @@ def build_model(args):
     return model, spec
 
 
+# Module-level jit with the (hashable dataclass) model static: one trace per
+# (model config, minibatch resolution) for the whole sweep. Round 1 defined a
+# fresh @jax.jit closure inside encode_video -> a retrace per video
+# (VERDICT.md weak #2).
+@partial(jax.jit, static_argnames=("model",))
+def _encode_batch(model, v, x):
+    q, maps = model.apply(v, x, just_feats=True, train=False)
+    return maps  # (B, T, H', W', C)
+
+
 def encode_video(model, variables, imgs: np.ndarray, batch_size: int = 5,
                  l2: bool = True) -> jnp.ndarray:
     """Per-frame encoder features, minibatched (reference test.py:84-93).
@@ -48,12 +61,6 @@ def encode_video(model, variables, imgs: np.ndarray, batch_size: int = 5,
     Returns:
       (N, C, H', W') L2-normalized features.
     """
-
-    @jax.jit
-    def enc(v, x):
-        q, maps = model.apply(v, x, just_feats=True, train=False)
-        return maps  # (B, T, H', W', C)
-
     feats = []
     N = imgs.shape[0]
     # fixed minibatch with padding: one compile for all videos; chunks stay
@@ -65,7 +72,7 @@ def encode_video(model, variables, imgs: np.ndarray, batch_size: int = 5,
         if pad:
             chunk = np.concatenate(
                 [chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
-        m = enc(variables, jnp.asarray(chunk)[None])[0]
+        m = _encode_batch(model, variables, jnp.asarray(chunk)[None])[0]
         feats.append(m[:batch_size - pad] if pad else m)
     feats = jnp.concatenate(feats)[:N]           # (N, H', W', C)
     feats = jnp.moveaxis(feats, -1, 1)           # (N, C, H', W')
@@ -73,6 +80,40 @@ def encode_video(model, variables, imgs: np.ndarray, batch_size: int = 5,
         norm = jnp.linalg.norm(feats, axis=1, keepdims=True)
         feats = feats / jnp.maximum(norm, 1e-12)
     return feats
+
+
+def _dump_pca_vis(feats: np.ndarray, save_path: str, vid_idx: int) -> None:
+    """--pca-vis: PCA-projected feature maps -> PNGs under save_path/pca/."""
+    import imageio
+
+    from videowalk_tpu.utils.visualize import pca_feats
+
+    pf = pca_feats(feats[::10])                  # (n, 3, H', W') in [0,1]
+    outdir = os.path.join(save_path, "pca")
+    os.makedirs(outdir, exist_ok=True)
+    for i, frame in enumerate(pf):
+        img = (np.kron(frame.transpose(1, 2, 0), np.ones((4, 4, 1)))
+               * 255).astype(np.uint8)           # 4x upsample like reference
+        imageio.imwrite(os.path.join(outdir, f"{vid_idx}_{i * 10}.png"), img)
+
+
+def warn_inert_flags(args) -> None:
+    """Loudly report accepted-but-inert flags instead of silently dropping
+    them (VERDICT.md round-1 weak #6)."""
+    checks = [
+        ("visdom", getattr(args, "visdom", False),
+         "visdom is not wired; use --pca-vis (saves PNGs) / JSONL logging"),
+        ("finetune", bool(getattr(args, "finetune", 0)),
+         "parsed but dead in the reference too (code/utils/arguments.py:71); "
+         "ignored"),
+        ("batchSize", getattr(args, "batchSize", 1) != 1,
+         "evaluation streams one video at a time; ignored"),
+        ("workers", getattr(args, "workers", 4) not in (0, 4),
+         "the eval loader is sequential; ignored"),
+    ]
+    for name, active, why in checks:
+        if active:
+            print(f"WARNING: --{name} has no effect here: {why}", flush=True)
 
 
 def test(loader, model, variables, args):
@@ -88,19 +129,27 @@ def test(loader, model, variables, args):
         feats = encode_video(model, variables, imgs, l2=not args.no_l2)
         print("computed features", time.time() - t00, flush=True)
 
+        if getattr(args, "pca_vis", False):
+            # PCA feature maps saved as PNGs (every 10th frame, like the
+            # reference's pf[::10]; reference test.py:97-103 shows them in
+            # visdom, which is not wired here — files are the equivalent).
+            _dump_pca_vis(np.asarray(feats), args.save_path, vid_idx)
+
         key_indices = context_index_bank(n_context, list(args.long_mem),
                                          N - n_context)
         # feature-resolution labels buffer
         labels0 = lbls_resize.astype(np.float32)
 
         t03 = time.time()
-        preds = propagate_labels(
-            jnp.asarray(feats), jnp.asarray(labels0),
-            jnp.asarray(key_indices),
+        backend = getattr(args, "prop_backend", "auto")
+        if backend == "auto":
+            # the fused Pallas kernel is the fast path on TPU; XLA elsewhere
+            backend = "fused" if jax.default_backend() == "tpu" else "xla"
+        preds = propagate_labels_bucketed(
+            np.asarray(feats), labels0, np.asarray(key_indices),
             n_context=n_context, n_long=len(args.long_mem),
             topk=args.topk, temperature=args.temperature,
-            radius=float(args.radius))
-        preds = np.asarray(preds)
+            radius=float(args.radius), backend=backend)
         print(time.time() - t03, "propagation (on-device)", flush=True)
 
         keypts = []
@@ -138,6 +187,7 @@ def main(args):
     import jax as _jax
 
     print("jax devices:", _jax.devices())
+    warn_inert_flags(args)
     model, spec = build_model(args)
     args.mapScale = test_utils.infer_downscale(spec.map_scale)
     args.use_lab = args.model_type == "uvc"

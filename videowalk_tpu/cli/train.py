@@ -63,10 +63,24 @@ def make_dataset(args, transform):
     """Kinetics tree, or frame-folder filelist (reference train.py:159-189)."""
     traindir = os.path.join(
         args.data_path, "train_256" if not args.fast_test else "val_256")
-    # Any directory is treated as a Kinetics-style <root>/<class>/*.mp4 tree
-    # (the reference's ImageFolder HACK branch for image datasets,
-    # code/train.py:179-180, is intentionally unsupported — see STATUS.md);
-    # a non-directory path is a VideoList filelist.
+    # Directory routing (reference train.py:161-189): kinetics-style video
+    # trees -> Kinetics400; image datasets -> ImageFolder (the reference's
+    # HACK branch, code/train.py:179-180 — made functional here: each image
+    # becomes a clip_len static clip of independently augmented views, see
+    # data/image_folder.py); a non-directory path is a VideoList filelist.
+    root_dir = traindir if os.path.isdir(traindir) else args.data_path
+    if "kinetics" not in args.data_path.lower():
+        from videowalk_tpu.data.image_folder import ImageFolder, is_image_folder
+
+        if is_image_folder(root_dir):
+            ds = ImageFolder(
+                root_dir, clip_len=args.clip_len, transform=transform,
+                sp_method=args.sp_method, num_components=args.num_sp,
+                prob=args.prob,
+                randomise_superpixels=args.randomise_superpixels,
+                randomise_superpixels_range=args.randomise_superpixels_range,
+                sp_backend=args.sp_backend, seed=args.seed)
+            return ds
     if ("kinetics" in args.data_path.lower() or os.path.isdir(traindir)
             or os.path.isdir(args.data_path)):
         cached = None
@@ -107,6 +121,15 @@ def train_one_epoch(args, models, steps, state, data_loader, epoch, mesh,
                             SmoothedValue(window_size=10, fmt="{value:.3f}"))
     header = f"Epoch: [{epoch}]"
     host_rng = np.random.RandomState(args.seed + epoch)
+    # Host-side mirror of state.step: reading int(state.step) or
+    # float(metrics["loss"]) forces a device fetch (a full pipeline sync
+    # through the tunnel) — done once per epoch here, then tracked in Python.
+    # Metrics are fetched only every --print-freq steps (the reference's own
+    # logging cadence, code/train.py:41-43), so between fetches the steps
+    # dispatch asynchronously and pipeline on device.
+    global_step = int(state.step)
+    fetch_every = max(1, args.print_freq)
+    window_clips, window_t0 = 0, time.time()
 
     if vis is not None:  # wandb/JSONL init (reference train.py:48-49)
         vis.wandb_init(models)
@@ -126,7 +149,7 @@ def train_one_epoch(args, models, steps, state, data_loader, epoch, mesh,
             from videowalk_tpu.ops.augs_device import train_transform_device
 
             views = train_transform_device(
-                jax.random.fold_in(rng, 7919 + int(state.step)),
+                jax.random.fold_in(rng, 7919 + global_step),
                 jnp.asarray(views["raw"]),
                 img_size=args.img_size,
                 patch_size=int(args.patch_size[0]),
@@ -140,11 +163,10 @@ def train_one_epoch(args, models, steps, state, data_loader, epoch, mesh,
         if profiling and step_i == 10:
             jax.profiler.stop_trace()
             profiling = False
-        start_time = time.time()
         # patch vs superpixel Bernoulli (reference train.py:54)
         grid = bool(host_rng.choice([True, False],
                                     p=[args.prob, 1 - args.prob]))
-        key = jax.random.fold_in(rng, int(state.step))
+        key = jax.random.fold_in(rng, global_step)
 
         if grid or args.teacher_student:
             batch = jnp.asarray(views["grid"])
@@ -165,22 +187,30 @@ def train_one_epoch(args, models, steps, state, data_loader, epoch, mesh,
             state, metrics = steps["superpixel"](state, video, key, mask)
             n_clips = views["whole"].shape[0]
 
-        loss = float(metrics["loss"])
-        lr = float(multistep_lr(args.lr, steps["milestones"],
-                                args.lr_gamma)(int(state.step)))
+        global_step += 1
+        window_clips += n_clips
 
-        if vis is not None:  # per-step loss + walk diagnostics
-            vis.log(dict(loss=loss))
+        if vis is not None:
+            # per-step loss + walk diagnostics (reference train.py:71-73).
+            # Opt-in: logging forces a per-step fetch, like the reference's
+            # per-step wandb calls.
+            vis.log(dict(loss=float(metrics["loss"])))
             vis.log({k: float(np.asarray(v).mean())
                      for k, v in metrics.items() if k != "loss"})
+
+        last = step_i + 1 >= min(args.steps_per_epoch, len(data_loader))
+        if step_i % fetch_every == 0 or last:
+            loss = float(metrics["loss"])  # blocks through this step
+            lr = float(multistep_lr(args.lr, steps["milestones"],
+                                    args.lr_gamma)(global_step))
+            metric_logger.update(loss=loss, lr=lr)
+            metric_logger.meters["clips/s"].update(
+                window_clips / max(time.time() - window_t0, 1e-9))
+            window_clips, window_t0 = 0, time.time()
 
         # stochastic checkpointing (reference train.py:76-77)
         if checkpoint_fn is not None and host_rng.random_sample() < 0.005:
             checkpoint_fn(state, epoch)
-
-        metric_logger.update(loss=loss, lr=lr)
-        metric_logger.meters["clips/s"].update(
-            n_clips / (time.time() - start_time))
 
     if checkpoint_fn is not None:
         checkpoint_fn(state, epoch)

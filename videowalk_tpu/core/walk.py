@@ -136,11 +136,18 @@ def transition_matrices(
     key: jax.Array | None = None,
     edgedrop_rate: float = 0.0,
     use_zero_softmax: bool = True,
+    zero_diagonal: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Node embeddings -> stacked forward/backward transition matrices.
 
     Args:
       q: ``(B, C, T, N)`` L2-normalized node embeddings.
+      zero_diagonal: zero the affinity diagonal before dropout/softmax —
+        ``--zero-diagonal``. (The reference parses the flag,
+        code/utils/arguments.py:156, but its CRW forward never passes it to
+        stoch_mat; here it is actually wired. Semantics follow the
+        reference's ``zeroout_diag``, code/model.py:58-61: zeroed logits
+        then get exactly-zero probability under ZeroSoftmax.)
 
     Returns:
       ``(A12s, A21s)`` each ``(T-1, B, N, N)``: forward (t -> t+1) and
@@ -153,6 +160,8 @@ def transition_matrices(
     T = q.shape[2]
     As = affinity(q[:, :, :-1], q[:, :, 1:])        # (B, T-1, N, N)
     As = jnp.moveaxis(As, 1, 0)                      # (T-1, B, N, N)
+    if zero_diagonal:
+        As = As * (1.0 - jnp.eye(As.shape[-1], dtype=As.dtype))
     AsT = jnp.swapaxes(As, -1, -2)
 
     if edgedrop_rate > 0:
@@ -366,6 +375,7 @@ def crw_walk_loss(
     edgedrop_rate: float = 0.0,
     flip: bool = False,
     use_zero_softmax: bool = True,
+    zero_diagonal: bool = False,
     reference_assoc: bool = False,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """Full CRW palindrome loss from node embeddings.
@@ -388,7 +398,7 @@ def crw_walk_loss(
         return jnp.asarray(0.0, jnp.float32), {}
     A12s, A21s = transition_matrices(
         q, temperature, key=key, edgedrop_rate=edgedrop_rate,
-        use_zero_softmax=use_zero_softmax)
+        use_zero_softmax=use_zero_softmax, zero_diagonal=zero_diagonal)
     prod = (palindrome_products_reference_assoc if reference_assoc
             else palindrome_products)
     AAs = prod(A12s, A21s, flip=flip)                 # (T-2, B, N, N)

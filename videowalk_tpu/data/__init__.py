@@ -11,6 +11,7 @@ from videowalk_tpu.data.superpixels import (
 )
 from videowalk_tpu.data.clips import VideoClipIndex, RandomClipSampler
 from videowalk_tpu.data.kinetics import Kinetics400
+from videowalk_tpu.data.image_folder import ImageFolder, is_image_folder
 from videowalk_tpu.data.video import VideoList, SingleVideoDataset
 from videowalk_tpu.data.loader import DataLoader
 
@@ -21,6 +22,8 @@ __all__ = [
     "VideoClipIndex",
     "RandomClipSampler",
     "Kinetics400",
+    "ImageFolder",
+    "is_image_folder",
     "VideoList",
     "SingleVideoDataset",
     "DataLoader",

@@ -5,12 +5,15 @@ The reference shells out to the external ``davis2017-evaluation`` repo
 semi-supervised J&F protocol directly (Pont-Tuset et al., "The 2017 DAVIS
 Challenge on Video Object Segmentation"):
 
-- J  = region similarity: per-object per-frame IoU;
-- F  = contour accuracy: precision/recall F-measure between boundary pixels,
-  matched within a distance tolerance (morphological dilation of the
-  boundary maps, bound = ceil(0.008 * diagonal));
-- per-sequence scores average over frames 1..N-2 (first and last frames are
-  excluded, matching the official tool), then mean over objects/sequences.
+- J  = region similarity: per-object per-frame IoU (empty/empty -> 1);
+- F  = contour accuracy: precision/recall F-measure between ``seg2bmap``
+  boundary pixels (east/south/south-east transition marks — the official
+  definition, including background-side pixels), matched within a disk of
+  radius ``ceil(0.008 * ||shape||)`` via binary dilation, exactly as the
+  official ``db_eval_boundary``;
+- semi-supervised protocol: frames 1..N-2 per object (first and last frames
+  excluded); the global mean is over all (sequence, object) tracks, matching
+  the official tool's J['M']/F['M'] aggregation.
 
 CLI: python -m videowalk_tpu.eval.davis_metrics \
         --results <indexed PNGs per video> --davis <DAVIS root>
@@ -40,33 +43,56 @@ def jaccard(pred: np.ndarray, gt: np.ndarray) -> float:
     return float(inter) / float(union)
 
 
-def _boundary_map(mask: np.ndarray) -> np.ndarray:
-    """Binary boundary of a mask (pixels whose 4-neighborhood crosses the
-    mask edge) — matches the official `seg2bmap` up to raster alignment."""
-    mask = mask.astype(np.uint8)
-    if mask.sum() == 0:
-        return np.zeros_like(mask, bool)
-    er = cv2.erode(mask, np.ones((3, 3), np.uint8))
-    return (mask - er).astype(bool)
+def seg2bmap(seg: np.ndarray) -> np.ndarray:
+    """Binary boundary map, official ``davis2017-evaluation`` semantics.
+
+    A pixel is boundary iff it differs from its east, south, or south-east
+    neighbor (transitions are marked on the north/west side, so boundary
+    pixels can be *background* pixels adjacent to the object); the last
+    row/column only compare east/south respectively and the corner is 0.
+    This is the same-size path of the official ``_seg2bmap`` (the resampled
+    path is never taken when evaluating at annotation resolution)."""
+    seg = seg.astype(bool)
+    e = np.zeros_like(seg)
+    s = np.zeros_like(seg)
+    se = np.zeros_like(seg)
+    e[:, :-1] = seg[:, 1:]
+    s[:-1, :] = seg[1:, :]
+    se[:-1, :-1] = seg[1:, 1:]
+    b = (seg ^ e) | (seg ^ s) | (seg ^ se)
+    b[-1, :] = seg[-1, :] ^ e[-1, :]
+    b[:, -1] = seg[:, -1] ^ s[:, -1]
+    b[-1, -1] = False
+    return b
+
+
+def _disk(radius: int) -> np.ndarray:
+    """skimage.morphology.disk: pixels with dx^2 + dy^2 <= r^2."""
+    y, x = np.mgrid[-radius:radius + 1, -radius:radius + 1]
+    return (x * x + y * y <= radius * radius).astype(np.uint8)
 
 
 def f_measure(pred: np.ndarray, gt: np.ndarray,
               bound_th: float = 0.008) -> float:
-    """Boundary F-measure with distance tolerance (official protocol)."""
-    fg = _boundary_map(pred)
-    gtb = _boundary_map(gt)
-    if fg.sum() == 0 and gtb.sum() == 0:
+    """Boundary F-measure, official ``db_eval_boundary`` semantics:
+    seg2bmap boundaries, disk-dilated tolerance matching
+    (bound_pix = ceil(bound_th * ||shape||)), precision/recall harmonic mean.
+    """
+    fg = seg2bmap(pred)
+    gtb = seg2bmap(gt)
+    n_fg, n_gt = int(fg.sum()), int(gtb.sum())
+    if n_fg == 0 and n_gt == 0:
         return 1.0
-    if fg.sum() == 0 or gtb.sum() == 0:
+    if n_fg == 0 or n_gt == 0:
+        # official: (P,R) = (1,0) or (0,1) -> F = 0
         return 0.0
-    bound_pix = max(1, int(math.ceil(
-        bound_th * np.linalg.norm(pred.shape))))
-    se = cv2.getStructuringElement(cv2.MORPH_ELLIPSE,
-                                   (2 * bound_pix + 1, 2 * bound_pix + 1))
+    bound_pix = (int(bound_th) if bound_th >= 1 else
+                 int(math.ceil(bound_th * np.linalg.norm(pred.shape))))
+    se = _disk(bound_pix)
     fg_dil = cv2.dilate(fg.astype(np.uint8), se).astype(bool)
     gt_dil = cv2.dilate(gtb.astype(np.uint8), se).astype(bool)
-    precision = np.logical_and(fg, gt_dil).sum() / fg.sum()
-    recall = np.logical_and(gtb, fg_dil).sum() / gtb.sum()
+    precision = np.logical_and(fg, gt_dil).sum() / n_fg
+    recall = np.logical_and(gtb, fg_dil).sum() / n_gt
     if precision + recall == 0:
         return 0.0
     return 2 * precision * recall / (precision + recall)
@@ -76,13 +102,15 @@ def _read_indexed(path: str) -> np.ndarray:
     return np.array(Image.open(path))
 
 
-def evaluate_sequence(pred_dir: str, gt_dir: str) -> dict[str, float]:
-    """Per-sequence mean J and F over objects, frames 1..N-2."""
+def evaluate_sequence(pred_dir: str, gt_dir: str
+                      ) -> dict[int, dict[str, float]]:
+    """Per-object mean J and F over frames 1..N-2 (semi-supervised protocol:
+    the official tool drops the first and last frames)."""
     frames = sorted(f for f in os.listdir(gt_dir) if f.endswith(".png"))
     gt0 = _read_indexed(os.path.join(gt_dir, frames[0]))
     objects = sorted(int(o) for o in np.unique(gt0) if o not in (0, 255))
     if not objects:
-        return {"J": 1.0, "F": 1.0}
+        return {}
 
     js = {o: [] for o in objects}
     fs = {o: [] for o in objects}
@@ -99,27 +127,34 @@ def evaluate_sequence(pred_dir: str, gt_dir: str) -> dict[str, float]:
             js[o].append(jaccard(pred == o, gt == o))
             fs[o].append(f_measure(pred == o, gt == o))
 
-    j_mean = float(np.mean([np.mean(js[o]) for o in objects]))
-    f_mean = float(np.mean([np.mean(fs[o]) for o in objects]))
-    return {"J": j_mean, "F": f_mean}
+    return {o: {"J": float(np.mean(js[o])), "F": float(np.mean(fs[o]))}
+            for o in objects}
 
 
 def evaluate_davis(results_dir: str, davis_root: str,
                    split: str = "val") -> dict[str, float]:
-    """Global J&F over the DAVIS-2017 split."""
+    """Global J&F over the DAVIS-2017 split.
+
+    Aggregation is per *object track* (the official tool's J['M']/F['M']
+    lists hold one entry per (sequence, object); the global mean is over all
+    of them), not per-sequence-then-mean."""
     val_list = os.path.join(davis_root, "ImageSets", "2017", f"{split}.txt")
     with open(val_list) as f:
         videos = [line.strip() for line in f if line.strip()]
     ann = os.path.join(davis_root, "Annotations", "480p")
 
-    per_seq = {}
+    all_j: list[float] = []
+    all_f: list[float] = []
     for v in videos:
-        per_seq[v] = evaluate_sequence(os.path.join(results_dir, v),
-                                       os.path.join(ann, v))
-        print(f"{v}: J={per_seq[v]['J']:.4f} F={per_seq[v]['F']:.4f}",
-              flush=True)
-    J = float(np.mean([s["J"] for s in per_seq.values()]))
-    F = float(np.mean([s["F"] for s in per_seq.values()]))
+        per_obj = evaluate_sequence(os.path.join(results_dir, v),
+                                    os.path.join(ann, v))
+        for o, scores in sorted(per_obj.items()):
+            print(f"{v}_{o}: J={scores['J']:.4f} F={scores['F']:.4f}",
+                  flush=True)
+            all_j.append(scores["J"])
+            all_f.append(scores["F"])
+    J = float(np.mean(all_j)) if all_j else 1.0
+    F = float(np.mean(all_f)) if all_f else 1.0
     out = {"J&F-Mean": (J + F) / 2, "J-Mean": J, "F-Mean": F}
     print({k: round(v, 4) for k, v in out.items()}, flush=True)
     return out

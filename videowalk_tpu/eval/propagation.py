@@ -133,7 +133,8 @@ def topk_affinity_blocked(query: jax.Array, keys: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("n_context", "n_long", "topk",
-                                   "temperature", "radius", "blocked"))
+                                   "temperature", "radius", "blocked",
+                                   "backend"))
 def propagate_labels(
     feats: jax.Array,
     labels0: jax.Array,
@@ -145,6 +146,7 @@ def propagate_labels(
     temperature: float,
     radius: float,
     blocked: bool = True,
+    backend: str = "xla",
 ) -> jax.Array:
     """Autoregressive label propagation over a whole video, on device.
 
@@ -164,7 +166,8 @@ def propagate_labels(
     N, C, H, W = feats.shape
     HW = H * W
     n_lbl = labels0.shape[-1]
-    mask = _spatial_mask(H, W, radius)
+    fused = backend in ("fused", "fused_interpret")
+    mask = None if fused else _spatial_mask(H, W, radius)
     feats_flat = feats.reshape(N, C, HW)
     lbl_buf = labels0.reshape(N, HW, n_lbl)
 
@@ -174,10 +177,25 @@ def propagate_labels(
         ctx_lbls = lbl_buf[idx_row]                      # (L, HW, n_lbl)
         query = jax.lax.dynamic_index_in_dim(
             feats_flat, t_global, axis=0, keepdims=False)  # (C, HW)
-        affinity_fn = topk_affinity_blocked if blocked else topk_affinity
-        weights, ids = affinity_fn(query, keys, mask, temperature, topk,
-                                   n_long)               # (topk, HW)
-        flat_lbls = ctx_lbls.reshape(-1, n_lbl)          # (L*HW, n_lbl)
+        if fused:
+            from videowalk_tpu.ops.propagation_kernel import (
+                fused_topk_affinity, padded_hw)
+
+            weights, ids = fused_topk_affinity(
+                query, keys, n_long=n_long, topk=topk,
+                temperature=temperature, radius=radius, H=H, W=W,
+                interpret=backend == "fused_interpret")  # (topk, HW)
+            # the kernel's flat ids stride by the padded HW
+            hwp = padded_hw(HW)
+            flat_lbls = jnp.zeros((keys.shape[0] * hwp, n_lbl),
+                                  ctx_lbls.dtype)
+            flat_lbls = flat_lbls.reshape(-1, hwp, n_lbl).at[
+                :, :HW].set(ctx_lbls).reshape(-1, n_lbl)
+        else:
+            affinity_fn = topk_affinity_blocked if blocked else topk_affinity
+            weights, ids = affinity_fn(query, keys, mask, temperature, topk,
+                                       n_long)           # (topk, HW)
+            flat_lbls = ctx_lbls.reshape(-1, n_lbl)      # (L*HW, n_lbl)
         picked = flat_lbls[ids]                          # (topk, HW, n_lbl)
         pred = jnp.sum(picked * weights[..., None], axis=0)  # (HW, n_lbl)
         # Reference quirk (code/test.py:156-160): the FIRST target's
@@ -190,3 +208,68 @@ def propagate_labels(
 
     _, preds = jax.lax.scan(step, lbl_buf, key_indices)
     return preds.reshape(-1, H, W, n_lbl)
+
+
+def propagate_labels_bucketed(
+    feats: np.ndarray,
+    labels0: np.ndarray,
+    key_indices: np.ndarray,
+    *,
+    n_context: int,
+    n_long: int,
+    topk: int,
+    temperature: float,
+    radius: float,
+    blocked: bool = True,
+    backend: str = "xla",
+    length_bucket: int = 16,
+    label_bucket: int = 8,
+) -> np.ndarray:
+    """``propagate_labels`` with shape bucketing: O(1) compiles per sweep.
+
+    ``propagate_labels`` is jitted over the video's exact shapes, so a real
+    DAVIS/JHMDB sweep (``--cropSize -1``: native sizes, varying lengths,
+    varying object counts) would recompile per video — minutes each through
+    a remote TPU tunnel. This wrapper pads to shape buckets so distinct
+    compilations are bounded by #resolutions x #length-buckets:
+
+    - target count padded to a multiple of ``length_bucket`` by repeating the
+      last ``key_indices`` row — re-running a target row is *idempotent* (its
+      context indices all precede the write slot, so the recomputed
+      prediction and buffer write are identical);
+    - frame count padded with zero frames that no padded row ever reads
+      (targets stop at the last real frame);
+    - label-class count padded with zero channels to a multiple of
+      ``label_bucket`` (predictions are per-channel weighted sums, so padded
+      channels stay exactly zero and are sliced off).
+
+    Numerics are exactly those of the unpadded call. See VERDICT.md round-1
+    weak #2 (per-video recompilation).
+    """
+    n_targets, n_total = key_indices.shape[0], feats.shape[0]
+    assert n_total == n_targets + n_context, (n_total, n_targets, n_context)
+    n_lbl = labels0.shape[-1]
+
+    def _round_up(n, m):
+        return ((n + m - 1) // m) * m
+
+    pt = _round_up(n_targets, length_bucket) - n_targets
+    pl = _round_up(n_lbl, label_bucket) - n_lbl
+    if pt:
+        key_indices = np.concatenate(
+            [key_indices, np.repeat(key_indices[-1:], pt, axis=0)])
+        feats = np.concatenate(
+            [feats, np.zeros((pt, *feats.shape[1:]), feats.dtype)])
+        labels0 = np.concatenate(
+            [labels0, np.zeros((pt, *labels0.shape[1:]), labels0.dtype)])
+    if pl:
+        labels0 = np.concatenate(
+            [labels0, np.zeros((*labels0.shape[:-1], pl), labels0.dtype)],
+            axis=-1)
+
+    preds = propagate_labels(
+        jnp.asarray(feats), jnp.asarray(labels0), jnp.asarray(key_indices),
+        n_context=n_context, n_long=n_long, topk=topk,
+        temperature=temperature, radius=radius, blocked=blocked,
+        backend=backend)
+    return np.asarray(preds)[:n_targets, ..., :n_lbl]

@@ -324,6 +324,7 @@ class CRW(nn.Module):
                 and jax.default_backend() == "tpu"))
         use_fused = (use_fused and not self.cfg.flip
                      and not self.cfg.sk_targets
+                     and not self.cfg.zero_diagonal
                      and self.cfg.use_zero_softmax
                      and q.shape[3] <= 128)
         if self.cfg.sk_targets:
@@ -345,5 +346,6 @@ class CRW(nn.Module):
                 key=key,
                 edgedrop_rate=self.cfg.edgedrop_rate if train else 0.0,
                 flip=self.cfg.flip,
-                use_zero_softmax=self.cfg.use_zero_softmax)
+                use_zero_softmax=self.cfg.use_zero_softmax,
+                zero_diagonal=self.cfg.zero_diagonal)
         return q, loss, diags

@@ -34,6 +34,7 @@ pads the label buffer to HWp to match.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -42,8 +43,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30  # padded-lane / consumed-candidate fill
 QT = 128     # queries per tile (MXU sublane-aligned)
-# Key chunks: ~2 MB of f32 keys at C=256 per pipelined block.
-KC_LANES = 2048
+# Key chunk width: ~1 MB of f32 keys at C=256 per pipelined block — small
+# enough that radius locality skips most (query tile, chunk) pairs outright
+# (a QT query tile spans ~QT/W grid rows; only chunks within ±radius rows
+# can contain admissible keys).
+KC_LANES = 1024
 
 
 def _round_up(n: int, m: int) -> int:
@@ -83,71 +87,89 @@ def _kernel(q_ref, k_ref, w_out, i_out, best_w, best_i, a_ref, *,
         best_w[:, pl.ds(qi * QT, QT)] = jnp.full((topk, QT), NEG, jnp.float32)
         best_i[:, pl.ds(qi * QT, QT)] = jnp.zeros((topk, QT), jnp.int32)
 
-    # Affinity tile on the MXU: (QT, C) x (C, KC).
-    a = jax.lax.dot_general(
-        q_ref[:], k_ref[0],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                  # (QT, KC)
+    # Radius-locality chunk skip: a QT query tile spans grid rows
+    # [qr0, qr1]; only key chunks whose row span intersects [qr0 - r,
+    # qr1 + r] can contain admissible keys for a short-term frame, and
+    # fully-padded chunks (beyond HW) never can. Skipped programs do no
+    # matmul and no merge (their key DMA still streams, which is cheap).
+    r_int = int(math.ceil(radius))
+    qr0, qr1 = (qi * QT) // W, (qi * QT + QT - 1) // W
+    kr0, kr1 = (kc * KC) // W, (kc * KC + KC - 1) // W
+    overlap = jnp.logical_and(kr0 <= qr1 + r_int, kr1 >= qr0 - r_int)
+    active = jnp.logical_and(
+        jnp.logical_or(l < n_long, overlap), kc * KC < HW)
 
-    # Radius mask from grid coordinates (reference code/test.py:118-123:
-    # additive -1e10 outside the disk, short-term frames only; padded key
-    # lanes are always excluded).
-    qf = qi * QT + jax.lax.broadcasted_iota(jnp.int32, (QT, 1), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (QT, KC), 1)
-    kf = kc * KC + lane
-    qy, qx = _coords(qf, W)
-    ky, kx = _coords(kf, W)
-    dy, dx = qy - ky, qx - kx
-    inside = dy * dy + dx * dx < radius * radius
-    a = jnp.where(jnp.logical_or(l < n_long, inside), a, a - 1e10)
-    a = jnp.where(kf < HW, a / temperature, NEG)
-    a_ref[:] = a
+    @pl.when(active)
+    def _work():
+        # Affinity tile on the MXU: (QT, C) x (C, KC). HIGHEST precision to
+        # match the XLA path's einsum (parity of top-k selections).
+        a = jax.lax.dot_general(
+            q_ref[:], k_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)              # (QT, KC)
 
-    # This chunk's top-k: k consuming max passes over the VMEM tile.
-    cw = []
-    ci = []
-    for _ in range(topk):
-        m, am = _row_max_argmax(a_ref[:], lane)
-        cw.append(m)
-        ci.append(l * HWp + kc * KC + am)
-        a_ref[:] = jnp.where(lane == am, NEG, a_ref[:])
-    chunk_w = jnp.concatenate(cw, axis=1)                    # (QT, topk)
-    chunk_i = jnp.concatenate(ci, axis=1).astype(jnp.int32)
+        # Radius mask from grid coordinates (reference code/test.py:118-123:
+        # additive -1e10 outside the disk, short-term frames only; padded
+        # key lanes are always excluded).
+        qf = qi * QT + jax.lax.broadcasted_iota(jnp.int32, (QT, 1), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (QT, KC), 1)
+        kf = kc * KC + lane
+        qy, qx = _coords(qf, W)
+        ky, kx = _coords(kf, W)
+        dy, dx = qy - ky, qx - kx
+        inside = dy * dy + dx * dx < radius * radius
+        a = jnp.where(jnp.logical_or(l < n_long, inside), a, a - 1e10)
+        a = jnp.where(kf < HW, a / temperature, NEG)
+        a_ref[:] = a
 
-    # Merge with the running top-k (tiny: 2k candidates per query).
-    prev_w = best_w[:, pl.ds(qi * QT, QT)].T                 # (QT, topk)
-    prev_i = best_i[:, pl.ds(qi * QT, QT)].T
-    ext_w = jnp.concatenate([prev_w, chunk_w], axis=1)       # (QT, 2k)
-    ext_i = jnp.concatenate([prev_i, chunk_i], axis=1)
-    ext_lane = jax.lax.broadcasted_iota(jnp.int32, ext_w.shape, 1)
-    nw = []
-    ni = []
-    for _ in range(topk):
-        m, am = _row_max_argmax(ext_w, ext_lane)
-        sel = ext_lane == am
-        nw.append(m)
-        ni.append(jnp.sum(jnp.where(sel, ext_i, 0), axis=1, keepdims=True))
-        ext_w = jnp.where(sel, NEG, ext_w)
-    new_w = jnp.concatenate(nw, axis=1)                      # (QT, topk)
-    new_i = jnp.concatenate(ni, axis=1).astype(jnp.int32)
-    best_w[:, pl.ds(qi * QT, QT)] = new_w.T
-    best_i[:, pl.ds(qi * QT, QT)] = new_i.T
+        # This chunk's top-k: k consuming max passes over the VMEM tile.
+        cw = []
+        ci = []
+        for _ in range(topk):
+            m, am = _row_max_argmax(a_ref[:], lane)
+            cw.append(m)
+            ci.append(l * HWp + kc * KC + am)
+            a_ref[:] = jnp.where(lane == am, NEG, a_ref[:])
+        chunk_w = jnp.concatenate(cw, axis=1)                # (QT, topk)
+        chunk_i = jnp.concatenate(ci, axis=1).astype(jnp.int32)
 
+        # Merge with the running top-k (tiny: 2k candidates per query).
+        prev_w = best_w[:, pl.ds(qi * QT, QT)].T             # (QT, topk)
+        prev_i = best_i[:, pl.ds(qi * QT, QT)].T
+        ext_w = jnp.concatenate([prev_w, chunk_w], axis=1)   # (QT, 2k)
+        ext_i = jnp.concatenate([prev_i, chunk_i], axis=1)
+        ext_lane = jax.lax.broadcasted_iota(jnp.int32, ext_w.shape, 1)
+        nw = []
+        ni = []
+        for _ in range(topk):
+            m, am = _row_max_argmax(ext_w, ext_lane)
+            sel = ext_lane == am
+            nw.append(m)
+            ni.append(jnp.sum(jnp.where(sel, ext_i, 0), axis=1,
+                              keepdims=True))
+            ext_w = jnp.where(sel, NEG, ext_w)
+        best_w[:, pl.ds(qi * QT, QT)] = jnp.concatenate(nw, axis=1).T
+        best_i[:, pl.ds(qi * QT, QT)] = jnp.concatenate(
+            ni, axis=1).astype(jnp.int32).T
+
+    # Emit from the running-best scratch (runs even on skipped programs so
+    # out blocks, which are write-only, are always fully written).
+    bw = best_w[:, pl.ds(qi * QT, QT)]                       # (topk, QT)
+    bi = best_i[:, pl.ds(qi * QT, QT)]
     last = jnp.logical_and(l == L - 1, kc == n_kc - 1)
 
     @pl.when(last)
     def _emit():
-        w = new_w - jnp.max(new_w, axis=1, keepdims=True)
+        w = bw - jnp.max(bw, axis=0, keepdims=True)
         e = jnp.exp(w)
-        w_out[:] = (e / jnp.sum(e, axis=1, keepdims=True)).T
-        i_out[:] = new_i.T
+        w_out[:] = e / jnp.sum(e, axis=0, keepdims=True)
+        i_out[:] = bi
 
     @pl.when(jnp.logical_not(last))
     def _keep():
-        # out blocks must be fully written every visit (write-only buffers);
-        # pre-final visits write the running state, overwritten later.
-        w_out[:] = new_w.T
-        i_out[:] = new_i.T
+        w_out[:] = bw
+        i_out[:] = bi
 
 
 def padded_hw(HW: int) -> int:

@@ -19,8 +19,7 @@ from videowalk_tpu.models import CRW, CRWConfig
 from videowalk_tpu.parallel import create_train_state, make_optimizer, make_train_step
 
 
-@pytest.mark.skipif(os.environ.get("VIDEOWALK_RUN_SLOW") != "1",
-                    reason="slow training test; set VIDEOWALK_RUN_SLOW=1")
+@pytest.mark.slow
 def test_crw_learns_consistent_motion():
     rng0 = np.random.RandomState(0)
     base = rng0.randint(0, 255, (96, 96, 3), np.uint8)

@@ -277,6 +277,7 @@ def test_crw_just_feats_whole_image():
     assert maps.shape == (1, 2, 4, 4, 512)
 
 
+@pytest.mark.slow
 def test_crw_gradients_flow():
     cfg = CRWConfig(model_type="scratch_zeropad", temperature=0.05)
     model = CRW(cfg)
@@ -296,6 +297,7 @@ def test_crw_gradients_flow():
     assert np.isfinite(gnorm) and gnorm > 0
 
 
+@pytest.mark.slow
 def test_teacher_student_end_to_end():
     cfg = CRWConfig(model_type="scratch_zeropad", temperature=0.05,
                     head_bias=True, use_zero_softmax=False)

@@ -2,6 +2,7 @@
 MLP heads, From3D time-folding, PCK numeric oracle."""
 
 import numpy as np
+import pytest
 import torch
 import torch.nn as tnn
 
@@ -80,6 +81,7 @@ def _conv_w(p):
                             .copy())
 
 
+@pytest.mark.slow
 def test_resnet50_matches_torch_oracle():
     spec = make_encoder("imagenet50", pretrained_path="unused-dummy")
     rng = np.random.RandomState(0)

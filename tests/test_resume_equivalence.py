@@ -2,6 +2,11 @@
 
 import os
 
+import pytest
+
+# two CLI-scale train sequences + bit-exact compare: slow tier
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 import jax

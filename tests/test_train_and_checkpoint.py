@@ -32,6 +32,7 @@ def make_model_and_state(seed=0, **cfg_kwargs):
     return model, optimizer, state
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss():
     model, optimizer, state = make_model_and_state()
     step = make_train_step(model, optimizer, donate=False)
@@ -52,6 +53,7 @@ def test_multistep_lr_schedule():
     assert float(sched(25)) == pytest.approx(0.01)
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device():
     """Data-parallel step over the 8-device mesh == single-device step."""
     model, optimizer, state = make_model_and_state()
@@ -71,6 +73,7 @@ def test_sharded_step_matches_single_device():
                                float(metrics_sharded["loss"]), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_superpixel_train_step():
     cfg = CRWConfig(model_type="scratch_zeropad", temperature=0.05,
                     max_sp_num=6)
@@ -188,6 +191,7 @@ def test_save_load_checkpoint_pth(tmp_path):
         np.asarray(variables["params"]["head"]["fc0"]["kernel"]))
 
 
+@pytest.mark.slow
 def test_orbax_checkpoint_roundtrip(tmp_path):
     """Native orbax backend preserves the full training state (including
     optimizer state, which the .pth shim stores as a numpy pytree)."""

@@ -1,6 +1,7 @@
 """Fused Pallas walk kernel vs. the XLA reference path (interpret mode on
 the CPU test platform; the same kernel compiles on TPU — see bench.py)."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -26,6 +27,7 @@ def test_fused_matches_xla_loss_and_diags():
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_gradients_match_xla():
     q = rand_q(seed=1)
     g_ref = jax.grad(lambda x: crw_walk_loss(x, 0.05)[0])(q)
@@ -34,6 +36,7 @@ def test_fused_gradients_match_xla():
                                rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_with_dropout_finite_and_plausible():
     q = rand_q(T=6, seed=2)
     loss, diags = fused_walk_loss(q, 0.05, key=jax.random.PRNGKey(0),
@@ -62,10 +65,10 @@ def test_fused_tiny_T():
     assert float(loss) == 0.0 and diags == {}
 
 
-import pytest
 
 
 @pytest.mark.parametrize("T,N", [(3, 16), (4, 49), (6, 100), (8, 49)])
+@pytest.mark.slow
 def test_fused_shape_sweep(T, N):
     """Fused kernel == XLA path across clip lengths and node counts."""
     q = rand_q(B=2, T=T, N=N, seed=T * 100 + N)

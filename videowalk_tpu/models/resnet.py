@@ -46,24 +46,22 @@ def _pad_conv(
 ) -> jax.Array:
     """Conv2D with torch-style explicit padding (zeros or reflect).
 
-    Reflect padding cannot be expressed in the conv op itself, so pad first
-    and run the conv VALID; XLA folds the zero-pad case back into the conv.
+    All convs go through PadConv (per-call padding, CPU im2col lowering for
+    small maps — ops/reflect_conv.py). Reflect padding cannot be expressed
+    in the conv op itself: the default path is an explicit reflect pad
+    (scatter-free VJP, ops/reflect_pad.py) + VALID conv; the exact
+    zero-SAME + boundary-strip rewrite is available via
+    VIDEOWALK_REFLECT_FUSE=always (measured neutral on v5e — see
+    ops/reflect_conv.py).
     """
-    if padding > 0:
-        if padding_mode == "reflect":
-            # custom scatter-free VJP — the generic jnp.pad reflect gradient
-            # costs ~1/3 of the train step on TPU (ops/reflect_pad.py)
-            from videowalk_tpu.ops.reflect_pad import reflect_pad_hw
+    from videowalk_tpu.ops.reflect_conv import PadConv, reflect_conv2d
 
-            x = reflect_pad_hw(x, padding, padding)
-            conv_padding = "VALID"
-        else:
-            conv_padding = [(padding, padding), (padding, padding)]
-    else:
-        conv_padding = "VALID"
-    return nn.Conv(
-        features, (kernel, kernel), strides=(stride, stride),
-        padding=conv_padding, use_bias=False, dtype=dtype, name=name)(x)
+    conv = PadConv(features, kernel, stride, dtype=dtype, name=name)
+    if padding > 0 and padding_mode == "reflect":
+        return reflect_conv2d(x, conv, kernel, stride, padding)
+    if padding > 0:
+        return conv(x, [(padding, padding), (padding, padding)])
+    return conv(x, "VALID")
 
 
 def _batch_norm(x, train: bool, name: str, dtype=jnp.float32):

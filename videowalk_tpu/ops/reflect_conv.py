@@ -1,0 +1,208 @@
+"""Fused reflect-pad convolution: zero-SAME conv + additive ring correction.
+
+The reference's 'scratch' encoder reflect-pads every spatial conv
+(code/resnet.py:30-36). Round 1 implemented that as an explicit reflect pad
+(scatter-free VJP, ops/reflect_pad.py) + VALID conv, which still left a
+measured gap against zero padding — at the bench regime (64px patch encodes)
+the encoder runs 11.3 ms fwd+bwd reflect vs 8.2 ms zeros: the materialized
+66x66 pad copy and the off-tile padded shapes tax both the forward conv and
+both gradient convs.
+
+This module removes the padded big conv entirely. Reflect-pad decomposes as
+
+    reflect_pad(x) = zero_pad(x) + R
+
+where R is nonzero only on the pad frame, and conv is linear, so
+
+    conv_valid(reflect_pad(x)) = conv_same_zero(x) + conv_valid(R).
+
+R splits disjointly into four bands — top/bottom rows [0,P) and [H+P,H+2P)
+across the full padded width (corners included), and left/right columns
+restricted to the interior rows — so conv_valid(R) is four *thin strip*
+convs whose outputs are small deltas confined to the first/last ceil(P/s)
+output rows/cols. The deltas are zero-padded to the output shape and ADDED
+(not overwritten): XLA fuses the pad+add chain into the main conv's consumer,
+no full-tensor concats, and the decomposition stays exact even when bands
+overlap a single receptive field (linearity). Top+bottom and left+right
+strips are batch-stacked into one conv each when their shapes match (always
+true for stride-1 convs); four separate strip convs were measured slower
+(per-conv dispatch/layout overhead beats the concat's copy cost).
+
+Exactness (not approximation) is pinned by tests/test_reflect_conv.py:
+forward + input-gradient + kernel-gradient parity against pad-then-VALID
+across kernel/stride/pad sweeps.
+
+Strip extents (P = pad, K = kernel, s = stride, Hout = floor((H+2P-K)/s)+1):
+
+    rT = ceil(P/s)                     rows whose field starts above row P
+    rB = Hout-1 - floor((H+P-K)/s)     rows whose field ends below row H+P
+    h_top = (rT-1)*s + K               padded rows the top strip spans
+    h_bot = H + 2P - (Hout-rB)*s       padded rows the bottom strip spans
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from videowalk_tpu.ops.reflect_pad import reflect_pad_hw
+
+
+class PadConv(nn.Module):
+    """Bias-free Conv2D whose padding is a *call* argument, not a module
+    attribute, so the main conv (built-in zero padding — no materialized pad
+    copy) and the strip convs (VALID) share one kernel parameter.
+
+    Param layout matches ``nn.Conv`` (``kernel``: (K, K, Cin, Cout)) so .pth
+    checkpoint mapping (utils/checkpoint.py) is unchanged. Measured: an
+    explicit ``jnp.pad`` feeding a VALID conv is NOT folded into the conv by
+    XLA:TPU — the padded copy materializes and off-tile shapes tax fwd+bwd
+    (11.4 vs 8.1 ms at the 64px bench regime) — so padding must go through
+    the conv op itself wherever it is zero.
+    """
+
+    features: int
+    kernel: int
+    stride: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, padding):
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, x.shape[-1], self.features),
+            jnp.float32)
+        xc, wc = x.astype(self.dtype), w.astype(self.dtype)
+        pads = ([(0, 0), (0, 0)] if padding == "VALID" else list(padding))
+        if self.kernel > 1 and jax.default_backend() == "cpu":
+            # XLA:CPU executes small-spatial / high-channel convs through a
+            # pathological path — measured 1.6 s for ONE (196,2,2,256)->512
+            # 3x3 conv vs 46 ms as an im2col matmul (35x; the conv gradient
+            # is 24x worse) — which made every CPU test minutes long. Lower
+            # to im2col whenever the output map is small. TPU never takes
+            # this branch; numerics agree to matmul reassociation (~1e-6
+            # relative, checked in tests/test_reflect_conv.py).
+            h_out = (x.shape[1] + sum(pads[0]) - self.kernel) // self.stride + 1
+            w_out = (x.shape[2] + sum(pads[1]) - self.kernel) // self.stride + 1
+            if h_out * w_out <= 64:
+                pat = jax.lax.conv_general_dilated_patches(
+                    xc, (self.kernel, self.kernel),
+                    (self.stride, self.stride), pads,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                wm = wc.transpose(2, 0, 1, 3).reshape(pat.shape[-1],
+                                                      self.features)
+                return (pat.reshape(-1, pat.shape[-1]) @ wm).reshape(
+                    pat.shape[0], h_out, w_out, self.features)
+        return jax.lax.conv_general_dilated(
+            xc, wc, window_strides=(self.stride, self.stride),
+            padding=pads, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _fuse_mode() -> str:
+    """VIDEOWALK_REFLECT_FUSE: auto (default) | always | never.
+
+    Measured verdict on v5e (see module docstring): the strip rewrite lands
+    within noise of the materialized-pad fallback at both the 64px patch
+    regime (11.9-12.0 vs 11.2-12.0 ms) and 256^2 — the strip convs' fixed
+    per-op cost eats exactly what the aligned main conv saves — so ``auto``
+    keeps the simpler fallback and ``always`` opts into the fused rewrite
+    (still exact; kept under test for future XLA/hardware generations).
+    """
+    return os.environ.get("VIDEOWALK_REFLECT_FUSE", "auto")
+
+
+def _band_counts(n: int, kernel: int, stride: int, pad: int):
+    """(#leading, #trailing) outputs whose receptive field touches the pad
+    frame along one axis, plus the padded-row extents their strips span."""
+    n_out = (n + 2 * pad - kernel) // stride + 1
+    lead = min(-(-pad // stride), n_out)                       # ceil(P/s)
+    trail_start = (n + pad - kernel) // stride + 1             # first touching
+    trail = max(n_out - max(trail_start, 0), 0)
+    trail = min(trail, n_out)
+    lead_extent = (lead - 1) * stride + kernel if lead else 0
+    trail_extent = n + 2 * pad - (n_out - trail) * stride if trail else 0
+    return n_out, lead, trail, lead_extent, trail_extent
+
+
+def _pad_to(d: jax.Array, h_out: int, w_out: int, row0: int,
+            col0: int) -> jax.Array:
+    """Zero-embed a delta block at (row0, col0) of the (h_out, w_out) map."""
+    return jnp.pad(d, ((0, 0), (row0, h_out - row0 - d.shape[1]),
+                       (col0, w_out - col0 - d.shape[2]), (0, 0)))
+
+
+def reflect_conv2d(x: jax.Array, conv, kernel: int, stride: int,
+                   pad: int) -> jax.Array:
+    """Reflect-padded conv via zero-SAME conv + additive ring corrections.
+
+    Args:
+      x: NHWC input.
+      conv: callable ``conv(x, padding)`` sharing one kernel across calls
+        (a ``PadConv`` instance): built-in zero padding for the main conv,
+        VALID for the strips.
+      kernel/stride/pad: torch-style square conv geometry.
+
+    Falls back to plain reflect-pad + VALID when the input is too small for
+    the band slices (test-fixture sizes) or VIDEOWALK_REFLECT_FUSE=never.
+    """
+    if pad == 0:
+        return conv(x, "VALID")
+    B, H, W, C = x.shape
+    if _fuse_mode() != "always" or pad + 1 > H or pad + 1 > W:
+        return conv(reflect_pad_hw(x, pad, pad), "VALID")
+
+    h_out, r_t, r_b, h_top, h_bot = _band_counts(H, kernel, stride, pad)
+    w_out, c_l, c_r, w_left, w_right = _band_counts(W, kernel, stride, pad)
+
+    # Main conv: zero padding through the conv op itself — no pad copy.
+    y = conv(x, [(pad, pad), (pad, pad)])
+
+    flip = jnp.flip
+    deltas = []
+
+    # --- top/bottom bands: P reflected rows x full padded width (corners
+    # belong to these bands), interior rows of the strip are zero.
+    top = bot = None
+    if r_t:
+        top = jnp.pad(reflect_pad_hw(flip(x[:, 1:pad + 1], 1), 0, pad),
+                      ((0, 0), (0, h_top - pad), (0, 0), (0, 0)))
+    if r_b:
+        bot = jnp.pad(reflect_pad_hw(flip(x[:, H - pad - 1:H - 1], 1), 0, pad),
+                      ((0, 0), (h_bot - pad, 0), (0, 0), (0, 0)))
+    if top is not None and bot is not None and top.shape == bot.shape:
+        d = conv(jnp.concatenate([top, bot], axis=0), "VALID")  # one conv
+        deltas.append(_pad_to(d[:B], h_out, w_out, 0, 0))
+        deltas.append(_pad_to(d[B:], h_out, w_out, h_out - r_b, 0))
+    else:
+        if top is not None:
+            deltas.append(_pad_to(conv(top, "VALID"), h_out, w_out, 0, 0))
+        if bot is not None:
+            deltas.append(_pad_to(conv(bot, "VALID"), h_out, w_out,
+                                  h_out - r_b, 0))
+
+    # --- left/right bands: P reflected cols x interior rows only (rows
+    # [P, H+P) of the padded frame — zero-padded rows top and bottom).
+    left = right = None
+    if c_l:
+        left = jnp.pad(flip(x[:, :, 1:pad + 1], 2),
+                       ((0, 0), (pad, pad), (0, w_left - pad), (0, 0)))
+    if c_r:
+        right = jnp.pad(flip(x[:, :, W - pad - 1:W - 1], 2),
+                        ((0, 0), (pad, pad), (w_right - pad, 0), (0, 0)))
+    if left is not None and right is not None and left.shape == right.shape:
+        d = conv(jnp.concatenate([left, right], axis=0), "VALID")
+        deltas.append(_pad_to(d[:B], h_out, w_out, 0, 0))
+        deltas.append(_pad_to(d[B:], h_out, w_out, 0, w_out - c_r))
+    else:
+        if left is not None:
+            deltas.append(_pad_to(conv(left, "VALID"), h_out, w_out, 0, 0))
+        if right is not None:
+            deltas.append(_pad_to(conv(right, "VALID"), h_out, w_out, 0,
+                                  w_out - c_r))
+
+    for d in deltas:
+        y = y + d.astype(y.dtype)
+    return y

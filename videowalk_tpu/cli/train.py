@@ -402,6 +402,13 @@ def main(args):
 
         vis = Visualize(args)
 
+    # Host->device prefetch (replaces the reference's pin_memory + async
+    # CUDA copies, code/train.py:225-232); see data/prefetch.py.
+    if getattr(args, "prefetch", 0) > 0:
+        from videowalk_tpu.data.prefetch import DevicePrefetcher
+
+        data_loader = DevicePrefetcher(data_loader, args.prefetch)
+
     print("Start training", end="\n" + "-" * 100 + "\n")
     start_time = time.time()
     rng = jax.random.PRNGKey(args.seed + 1234)

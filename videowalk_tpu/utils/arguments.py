@@ -172,6 +172,11 @@ def train_args(argv=None):
     parser.add_argument("--alpha-teacher-student", type=float, default=None)
 
     # --- TPU-native extensions (not in the reference CLI) ---
+    parser.add_argument("--prefetch", default=2, type=int,
+                        help="device_put batches N steps ahead on a "
+                             "background thread (0 disables) — the TPU "
+                             "analogue of the reference's pin_memory + "
+                             "async H2D copies")
     parser.add_argument("--sp-backend", default="device", type=str,
                         help="device (on-TPU SLIC) | host (C++ SLIC in "
                              "loader workers, reference-style)")

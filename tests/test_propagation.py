@@ -140,3 +140,106 @@ def test_fused_kernel_matches_blocked_path_interpret():
         jnp.asarray(feats), jnp.asarray(labels0), jnp.asarray(key_indices),
         backend="fused_interpret", **kw))
     np.testing.assert_allclose(fused, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_windowed_matches_blocked_selection():
+    """topk_affinity_radius == topk_affinity_blocked whenever every query
+    has >= topk in-radius candidates (the real eval regime)."""
+    import jax.numpy as jnp
+
+    from videowalk_tpu.eval.propagation import (
+        _spatial_mask, topk_affinity_blocked, topk_affinity_radius)
+
+    rng = np.random.RandomState(0)
+    H, W, C, L, n_long, k = 9, 11, 16, 4, 1, 5
+    HW = H * W
+    q = rng.randn(C, HW).astype(np.float32)
+    q /= np.linalg.norm(q, axis=0, keepdims=True)
+    keys = rng.randn(L, C, HW).astype(np.float32)
+    keys /= np.linalg.norm(keys, axis=1, keepdims=True)
+    mask = _spatial_mask(H, W, radius=4.0)
+
+    w_b, i_b = topk_affinity_blocked(jnp.asarray(q), jnp.asarray(keys),
+                                     mask, 0.05, k, n_long)
+    w_r, i_r = topk_affinity_radius(jnp.asarray(q), jnp.asarray(keys),
+                                    None, 0.05, k, n_long, 4.0, H, W)
+    np.testing.assert_array_equal(np.asarray(i_b), np.asarray(i_r))
+    np.testing.assert_allclose(np.asarray(w_b), np.asarray(w_r),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_propagate_windowed_backend_matches_xla():
+    import jax.numpy as jnp
+
+    from videowalk_tpu.eval.propagation import (context_index_bank,
+                                                propagate_labels)
+
+    rng = np.random.RandomState(1)
+    n_context, n_t, C, H, W, n_lbl = 3, 5, 8, 8, 10, 3
+    N = n_context + n_t
+    feats = rng.randn(N, C, H, W).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    labels0 = rng.rand(N, H, W, n_lbl).astype(np.float32)
+    ki = context_index_bank(n_context, [0], n_t)
+
+    kw = dict(n_context=n_context, n_long=1, topk=4, temperature=0.05,
+              radius=3.0)
+    p_x = propagate_labels(jnp.asarray(feats), jnp.asarray(labels0),
+                           jnp.asarray(ki), backend="xla", **kw)
+    p_w = propagate_labels(jnp.asarray(feats), jnp.asarray(labels0),
+                           jnp.asarray(ki), backend="windowed", **kw)
+    np.testing.assert_allclose(np.asarray(p_x), np.asarray(p_w),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_tiled_backend_matches_xla():
+    import jax.numpy as jnp
+
+    from videowalk_tpu.eval.propagation import (context_index_bank,
+                                                propagate_labels)
+
+    rng = np.random.RandomState(3)
+    n_context, n_t, C, H, W, n_lbl = 3, 5, 8, 9, 13, 3
+    N = n_context + n_t
+    feats = rng.randn(N, C, H, W).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    labels0 = rng.rand(N, H, W, n_lbl).astype(np.float32)
+    ki = context_index_bank(n_context, [0], n_t)
+
+    kw = dict(n_context=n_context, n_long=1, topk=4, temperature=0.05,
+              radius=3.0)
+    p_x = propagate_labels(jnp.asarray(feats), jnp.asarray(labels0),
+                           jnp.asarray(ki), backend="xla", **kw)
+    p_t = propagate_labels(jnp.asarray(feats), jnp.asarray(labels0),
+                           jnp.asarray(ki), backend="tiled", **kw)
+    np.testing.assert_allclose(np.asarray(p_x), np.asarray(p_t),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_tiled_affinity_matches_blocked_selection():
+    """Exact id/weight parity at a shape where every query has >= topk
+    in-radius candidates, incl. a non-multiple-of-8 grid."""
+    import jax.numpy as jnp
+
+    from videowalk_tpu.eval.propagation import (
+        _spatial_mask, topk_affinity_blocked, topk_affinity_tiled)
+
+    rng = np.random.RandomState(5)
+    H, W, C, L, n_long, k = 10, 14, 16, 5, 2, 6
+    HW = H * W
+    q = rng.randn(C, HW).astype(np.float32)
+    q /= np.linalg.norm(q, axis=0, keepdims=True)
+    keys = rng.randn(L, C, HW).astype(np.float32)
+    keys /= np.linalg.norm(keys, axis=1, keepdims=True)
+    mask = _spatial_mask(H, W, radius=4.0)
+
+    w_b, i_b = topk_affinity_blocked(jnp.asarray(q), jnp.asarray(keys),
+                                     mask, 0.05, k, n_long)
+    w_t, i_t = topk_affinity_tiled(jnp.asarray(q), jnp.asarray(keys),
+                                   0.05, k, n_long, 4.0, H, W)
+    # same selected source sets per query (ordering may differ on merges)
+    for qi in range(HW):
+        assert set(np.asarray(i_b)[:, qi]) == set(np.asarray(i_t)[:, qi]), qi
+    np.testing.assert_allclose(np.sort(np.asarray(w_b), 0),
+                               np.sort(np.asarray(w_t), 0),
+                               rtol=1e-5, atol=1e-7)

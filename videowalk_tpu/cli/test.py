@@ -143,37 +143,53 @@ def test(loader, model, variables, args):
         t03 = time.time()
         backend = getattr(args, "prop_backend", "auto")
         if backend == "auto":
-            # the fused Pallas kernel is the fast path on TPU; XLA elsewhere
-            backend = "fused" if jax.default_backend() == "tpu" else "xla"
+            # tiled = one top_k per target over static radius windows — the
+            # measured fast path on TPU (42 ms/target at 480p vs ~150 ms
+            # blocked; lax.top_k has a ~4.7 ms fixed per-call cost and the
+            # blocked path pays it 42x per target). XLA blocked elsewhere.
+            backend = "tiled" if jax.default_backend() == "tpu" else "xla"
+        # feats stay device-resident end-to-end (host round-tripping the
+        # ~400 MB feature stack cost ~10 s/video through the dev tunnel)
         preds = propagate_labels_bucketed(
-            np.asarray(feats), labels0, np.asarray(key_indices),
+            feats, labels0, np.asarray(key_indices),
             n_context=n_context, n_long=len(args.long_mem),
             topk=args.topk, temperature=args.temperature,
             radius=float(args.radius), backend=backend)
         print(time.time() - t03, "propagation (on-device)", flush=True)
 
         keypts = []
-        for t in range(preds.shape[0]):
-            pred = preds[t]
-            if args.norm_mask:
-                pred -= pred.min(-1, keepdims=True)
-                pred /= np.maximum(pred.max(-1, keepdims=True), 1e-12)
-            cur_img = imgs_orig[t + n_context] * 255
+        # prediction dumps (cv2 upsample + JPEG/PNG writes) overlap the next
+        # frames' host work on a writer pool — ~3 s/video serial on this
+        # host, and cv2 releases the GIL during resize/encode
+        from concurrent.futures import ThreadPoolExecutor
 
-            if "jhmdb" in args.filelist.lower():
-                coords, _ = test_utils.process_pose(pred, lbl_map)
-                keypts.append(coords)
+        with ThreadPoolExecutor(max_workers=2) as writers:
+            dump_futures = []
+            for t in range(preds.shape[0]):
+                pred = preds[t]
+                if args.norm_mask:
+                    pred -= pred.min(-1, keepdims=True)
+                    pred /= np.maximum(pred.max(-1, keepdims=True), 1e-12)
+                cur_img = imgs_orig[t + n_context] * 255
 
-            if "VIP" in args.filelist:
-                outpath = os.path.join(
-                    args.save_path,
-                    "videos" + meta["img_paths"][t + n_context].split(
-                        "videos")[-1])
-                os.makedirs(os.path.dirname(outpath), exist_ok=True)
-            else:
-                outpath = os.path.join(args.save_path,
-                                       f"{vid_idx}_{t}")
-            test_utils.dump_predictions(pred, lbl_map, cur_img, outpath)
+                if "jhmdb" in args.filelist.lower():
+                    coords, _ = test_utils.process_pose(pred, lbl_map)
+                    keypts.append(coords)
+
+                if "VIP" in args.filelist:
+                    outpath = os.path.join(
+                        args.save_path,
+                        "videos" + meta["img_paths"][t + n_context].split(
+                            "videos")[-1])
+                    os.makedirs(os.path.dirname(outpath), exist_ok=True)
+                else:
+                    outpath = os.path.join(args.save_path,
+                                           f"{vid_idx}_{t}")
+                dump_futures.append(writers.submit(
+                    test_utils.dump_predictions, pred, lbl_map, cur_img,
+                    outpath))
+            for f in dump_futures:
+                f.result()  # surface writer exceptions before moving on
 
         if keypts:
             coordpath = os.path.join(args.save_path, f"{vid_idx}.dat")

@@ -132,6 +132,224 @@ def topk_affinity_blocked(query: jax.Array, keys: jax.Array,
     return w.T, i.T                             # (topk, HW_q)
 
 
+def topk_affinity_radius(query: jax.Array, keys: jax.Array,
+                         mask: jax.Array, temperature: float, topk: int,
+                         n_long: int, radius: float, H: int, W: int
+                         ) -> tuple[jax.Array, jax.Array]:
+    """Radius-windowed top-k affinity: candidates gathered per query.
+
+    The radius mask admits only sources within Euclidean distance
+    ``radius`` of the query cell — a ``(2r+1)^2`` window (~625 of 6420
+    candidates at DAVIS 480p, r=12). The blocked path still runs
+    ``lax.top_k`` over all HW candidates per context frame, and that top-k
+    — not the affinity matmul (~0.5 ms on the MXU) — dominates eval time.
+    Here the full ``(HW_q, HW_k)`` affinity block is still computed on the
+    MXU (cheap), then each query's window is *gathered* into a dense
+    ``(HW_q, (2r+1)^2)`` array with two ``take_along_axis`` passes
+    (row-window, then column-window) and top-k runs over the window only.
+
+    Long-term frames (the first ``n_long``) are unmasked in the reference
+    (code/utils/test_utils.py:162 applies the mask to short-term frames
+    only), so they keep the full-candidate top-k.
+
+    Selection is identical to the blocked path whenever each query has at
+    least ``topk`` in-radius candidates (always, at real eval shapes);
+    with fewer, both paths fall back to -1e10-masked entries whose softmax
+    weight is ~0 but whose values differ in the masked tail.
+
+    Returns the same contract as ``topk_affinity_blocked``: ``(topk, HW)``
+    softmax weights and flat indices into ``(L * HW)``.
+    """
+    L, C, HW = keys.shape
+    r_int = int(np.floor(radius))
+    wsz = 2 * r_int + 1
+    offs = np.arange(-r_int, r_int + 1)
+    # static per-offset radius validity (Euclidean dist < radius, matching
+    # core/masks.radius_mask)
+    disk = (offs[:, None] ** 2 + offs[None, :] ** 2) < radius ** 2
+    idx_h = np.clip(np.arange(H)[:, None] + offs[None], 0, H - 1)  # (H,wsz)
+    idx_w = np.clip(np.arange(W)[:, None] + offs[None], 0, W - 1)
+    ok_h = (np.arange(H)[:, None] + offs[None] >= 0) & (
+        np.arange(H)[:, None] + offs[None] < H)
+    ok_w = (np.arange(W)[:, None] + offs[None] >= 0) & (
+        np.arange(W)[:, None] + offs[None] < W)
+    valid = (ok_h[:, None, :, None] & ok_w[None, :, None, :]
+             & disk[None, None, :, :])                     # (H,W,wsz,wsz)
+    add = jnp.asarray(np.where(valid, 0.0, -1e10), jnp.float32)
+    # flat source index per (query, offset) — same arithmetic as the mask
+    flat_ids = jnp.asarray(
+        idx_h[:, None, :, None] * W + idx_w[None, :, None, :],
+        jnp.int32).reshape(HW, wsz * wsz)
+    jidx_h = jnp.asarray(idx_h)
+    jidx_w = jnp.asarray(idx_w)
+
+    def window_topk(key_l, l_idx):
+        A = jnp.einsum("ck,cq->qk", key_l, query,
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)  # (HW_q, HW_k)
+        A4 = A.reshape(H, W, H, W)
+        B = jnp.take_along_axis(A4, jidx_h[:, None, :, None], axis=2)
+        B = jnp.take_along_axis(B, jidx_w[None, :, None, :], axis=3)
+        B = (B + add).reshape(HW, wsz * wsz) / temperature
+        w_l, sel = jax.lax.top_k(B, topk)                  # (HW_q, topk)
+        i_l = jnp.take_along_axis(flat_ids, sel, axis=-1) + l_idx * HW
+        return w_l, i_l
+
+    def full_topk(key_l, l_idx):
+        A = jnp.einsum("ck,cq->qk", key_l, query,
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32) / temperature
+        w_l, i_l = jax.lax.top_k(A, topk)
+        return w_l, i_l + l_idx * HW
+
+    best_w = jnp.full((HW, topk), -jnp.inf, jnp.float32)
+    best_i = jnp.zeros((HW, topk), jnp.int32)
+
+    def merge(carry, new):
+        bw, bi = carry
+        w_l, i_l = new
+        cat_w = jnp.concatenate([bw, w_l], axis=-1)
+        cat_i = jnp.concatenate([bi, i_l], axis=-1)
+        bw, sel = jax.lax.top_k(cat_w, topk)
+        bi = jnp.take_along_axis(cat_i, sel, axis=-1)
+        return (bw, bi)
+
+    for l in range(n_long):                      # typically 1 frame
+        best_w, best_i = merge((best_w, best_i), full_topk(keys[l], l))
+
+    def step(carry, inputs):
+        l_idx, key_l = inputs
+        return merge(carry, window_topk(key_l, l_idx)), None
+
+    (best_w, best_i), _ = jax.lax.scan(
+        step, (best_w, best_i),
+        (jnp.arange(n_long, L), keys[n_long:]))
+    w = jax.nn.softmax(best_w, axis=-1)
+    return w.T, best_i.T                          # (topk, HW_q)
+
+
+def topk_affinity_tiled(query: jax.Array, keys: jax.Array,
+                        temperature: float, topk: int, n_long: int,
+                        radius: float, H: int, W: int
+                        ) -> tuple[jax.Array, jax.Array]:
+    """Single-top_k radius affinity via static query-tile windows.
+
+    Measured on v5e at DAVIS 480p shapes: ``lax.top_k`` costs ~4.7 ms per
+    CALL nearly independent of candidate width ((6420,6420)->10 takes
+    5.2 ms, (7168,1024)->10 takes 4.7 ms). The blocked path pays that fixed
+    cost 42x per target frame (a block top-k plus a running merge for each
+    of 21 context frames) — ~250 of its 320 ms/frame. This path pays it
+    ONCE.
+
+    Structure: queries are tiled 8x8; with radius r, every query in a tile
+    draws its admissible candidates from one static (8+2r)^2 window of the
+    key grid — a *slice* (TPU-fast), not a gather (TPU-slow; the gather
+    variant measured 2.0 fps vs 3.1 blocked). Per context frame the full
+    affinity block is one MXU matmul (~1 ms), sliced into per-tile windows;
+    all frames' windows plus the unmasked long-term frames' full rows are
+    concatenated per query and a SINGLE ``lax.top_k`` selects over
+    ``n_long*HW + n_short*(8+2r)^2`` candidates.
+
+    Selection matches ``topk_affinity_blocked`` whenever each query has at
+    least ``topk`` in-radius candidates (always at eval shapes); ties and
+    the sub-top_k masked tail can differ (softmax weight ~0 either way).
+
+    Returns ``(topk, HW)`` softmax weights + flat indices into ``(L*HW)``.
+    """
+    L, C, HW = keys.shape
+    TQ = 8
+    r_int = int(np.floor(radius))
+    WIN = TQ + 2 * r_int
+    nth, ntw = -(-H // TQ), -(-W // TQ)
+    Hp, Wp = nth * TQ, ntw * TQ
+    TQ2, WIN2 = TQ * TQ, WIN * WIN
+    R = nth * ntw * TQ2
+    n_short = L - n_long
+
+    # static disk mask over (query-in-tile, window-cell) offsets:
+    # dy = wr - r - qr, dx = wc - r - qc; admissible iff dist < radius
+    qr = np.arange(TQ)
+    wr = np.arange(WIN)
+    dy = wr[None, :] - r_int - qr[:, None]            # (TQ, WIN)
+    dd = dy[:, None, :, None] ** 2 + dy[None, :, None, :] ** 2
+    disk_add = jnp.asarray(
+        np.where(dd < radius ** 2, 0.0, -1e10).astype(np.float32)
+        .reshape(1, TQ2, WIN2))
+
+    # static flat source ids per (tile, query-in-tile is irrelevant, window
+    # cell): key_row = ti*TQ - r + wr, key_col = tj*TQ - r + wc
+    ids = np.empty((nth, ntw, WIN2), np.int32)
+    for ti in range(nth):
+        for tj in range(ntw):
+            kr = np.clip(ti * TQ - r_int + wr, 0, H - 1)
+            kc = np.clip(tj * TQ - r_int + wr, 0, W - 1)
+            ids[ti, tj] = (kr[:, None] * W + kc[None, :]).reshape(-1)
+    ids_static = jnp.asarray(
+        np.broadcast_to(ids.reshape(nth * ntw, 1, WIN2),
+                        (nth * ntw, TQ2, WIN2)).reshape(R, WIN2))
+
+    # raster <- tiled query-row permutation
+    hq, wq = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    perm = ((hq // TQ) * ntw + wq // TQ) * TQ2 + (hq % TQ) * TQ + wq % TQ
+    perm = jnp.asarray(perm.reshape(-1))              # (HW,)
+
+    def tiles_of(A):
+        """(HW_q, HW_k) affinity -> (R, WIN2) masked per-tile windows."""
+        A4 = A.reshape(H, W, H, W)
+        A4 = jnp.pad(A4, ((0, Hp - H), (0, Wp - W),
+                          (r_int, r_int + Hp - H), (r_int, r_int + Wp - W)),
+                     constant_values=-1e10)
+        rows = []
+        for ti in range(nth):
+            cols = []
+            for tj in range(ntw):
+                blk = A4[ti * TQ:(ti + 1) * TQ, tj * TQ:(tj + 1) * TQ,
+                         ti * TQ:ti * TQ + WIN, tj * TQ:tj * TQ + WIN]
+                cols.append(blk.reshape(TQ2, WIN2))
+            rows.append(jnp.stack(cols))
+        T = jnp.concatenate(rows).reshape(nth * ntw, TQ2, WIN2)
+        return (T + disk_add).reshape(R, WIN2)
+
+    def q_affinity(key_l):
+        return jnp.einsum("ck,cq->qk", key_l, query,
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)
+
+    def short_step(_, key_l):
+        return None, tiles_of(q_affinity(key_l))
+
+    _, short_tiles = jax.lax.scan(short_step, None, keys[n_long:])
+    # (n_short, R, WIN2) -> (R, n_short*WIN2)
+    short_tiles = jnp.transpose(short_tiles, (1, 0, 2)).reshape(R, -1)
+
+    longs = []
+    for l in range(n_long):
+        A = q_affinity(keys[l])                        # (HW_q, HW_k)
+        A = jnp.pad(A.reshape(H, W, HW),
+                    ((0, Hp - H), (0, Wp - W), (0, 0)))
+        A = A.reshape(nth, TQ, ntw, TQ, HW).transpose(0, 2, 1, 3, 4)
+        longs.append(A.reshape(R, HW))
+    cand = jnp.concatenate(longs + [short_tiles], axis=-1) / temperature
+
+    w, sel = jax.lax.top_k(cand, topk)                 # ONE top_k call
+    # map selected candidate columns to flat (L*HW) source ids
+    off = n_long * HW
+    is_long = sel < off
+    long_flat = sel                                    # frame*HW + src
+    s = sel - off
+    frame_s = s // WIN2
+    w_i = s % WIN2
+    short_flat = (jnp.take_along_axis(
+        ids_static, jnp.clip(w_i, 0, WIN2 - 1), axis=-1)
+        + (frame_s + n_long) * HW)
+    flat = jnp.where(is_long, long_flat, short_flat)   # (R, topk)
+
+    w = jax.nn.softmax(w, axis=-1)
+    w = w[perm]                                        # raster query order
+    flat = flat[perm]
+    return w.T, flat.T                                 # (topk, HW)
+
+
 @partial(jax.jit, static_argnames=("n_context", "n_long", "topk",
                                    "temperature", "radius", "blocked",
                                    "backend"))
@@ -167,7 +385,8 @@ def propagate_labels(
     HW = H * W
     n_lbl = labels0.shape[-1]
     fused = backend in ("fused", "fused_interpret")
-    mask = None if fused else _spatial_mask(H, W, radius)
+    mask = (None if fused or backend == "windowed"
+            else _spatial_mask(H, W, radius))
     feats_flat = feats.reshape(N, C, HW)
     lbl_buf = labels0.reshape(N, HW, n_lbl)
 
@@ -191,6 +410,14 @@ def propagate_labels(
                                   ctx_lbls.dtype)
             flat_lbls = flat_lbls.reshape(-1, hwp, n_lbl).at[
                 :, :HW].set(ctx_lbls).reshape(-1, n_lbl)
+        elif backend == "tiled":
+            weights, ids = topk_affinity_tiled(
+                query, keys, temperature, topk, n_long, radius, H, W)
+            flat_lbls = ctx_lbls.reshape(-1, n_lbl)      # (L*HW, n_lbl)
+        elif backend == "windowed":
+            weights, ids = topk_affinity_radius(
+                query, keys, None, temperature, topk, n_long, radius, H, W)
+            flat_lbls = ctx_lbls.reshape(-1, n_lbl)      # (L*HW, n_lbl)
         else:
             affinity_fn = topk_affinity_blocked if blocked else topk_affinity
             weights, ids = affinity_fn(query, keys, mask, temperature, topk,
@@ -255,17 +482,24 @@ def propagate_labels_bucketed(
 
     pt = _round_up(n_targets, length_bucket) - n_targets
     pl = _round_up(n_lbl, label_bucket) - n_lbl
+    # Padding runs in jnp so device-resident feats stay on device: a 60-frame
+    # 480p video's features are ~400 MB — fetching them to numpy and
+    # re-uploading the padded copy costs ~10 s through the dev tunnel and
+    # dominated eval wall time (round-2 measurement); key_indices is tiny and
+    # stays numpy.
     if pt:
         key_indices = np.concatenate(
             [key_indices, np.repeat(key_indices[-1:], pt, axis=0)])
-        feats = np.concatenate(
-            [feats, np.zeros((pt, *feats.shape[1:]), feats.dtype)])
-        labels0 = np.concatenate(
-            [labels0, np.zeros((pt, *labels0.shape[1:]), labels0.dtype)])
+        feats = jnp.concatenate(
+            [jnp.asarray(feats),
+             jnp.zeros((pt, *feats.shape[1:]), feats.dtype)])
+        labels0 = jnp.concatenate(
+            [jnp.asarray(labels0),
+             jnp.zeros((pt, *labels0.shape[1:]), labels0.dtype)])
     if pl:
-        labels0 = np.concatenate(
-            [labels0, np.zeros((*labels0.shape[:-1], pl), labels0.dtype)],
-            axis=-1)
+        labels0 = jnp.concatenate(
+            [jnp.asarray(labels0),
+             jnp.zeros((*labels0.shape[:-1], pl), labels0.dtype)], axis=-1)
 
     preds = propagate_labels(
         jnp.asarray(feats), jnp.asarray(labels0), jnp.asarray(key_indices),

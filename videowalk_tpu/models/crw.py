@@ -112,6 +112,19 @@ def dilate_onehot(onehot: jax.Array, kernel_size: int, shape: str) -> jax.Array:
     r = kernel_size // 2
     lead = onehot.shape[:-2]
     h, w = onehot.shape[-2:]
+    # No gradient through dilation — matching the reference, whose grouped
+    # conv + ``(out > 0)`` threshold (code/model.py:308) has zero derivative
+    # a.e. (and the mask comes from integer SLIC labels anyway).
+    onehot = jax.lax.stop_gradient(onehot)
+
+    if shape == "L1" and r >= 2 and jax.default_backend() == "tpu":
+        # fully-in-VMEM Pallas kernel: one HBM read + one write for the
+        # whole stack vs ~17 materialized shift passes (ops/dilation_kernel)
+        from videowalk_tpu.ops.dilation_kernel import dilate_l1_pallas
+
+        out = dilate_l1_pallas(onehot.reshape(-1, h, w), kernel_size)
+        return out.reshape(*lead, h, w).astype(onehot.dtype)
+
     x = onehot.reshape(-1, h, w, 1)
 
     if shape == "L1":

@@ -62,10 +62,13 @@ def test_args(argv=None):
     parser.add_argument("--finetune", default=0, type=int)
     parser.add_argument("--pca-vis", default=False, action="store_true")
 
-    # TPU extension: propagation backend — 'auto' picks the fused Pallas
-    # kernel on TPU (ops/propagation_kernel.py) and XLA elsewhere.
+    # TPU extension: propagation backend — 'auto' picks 'tiled' on TPU (one
+    # top_k per target over static radius windows, the measured fast path;
+    # eval/propagation.py topk_affinity_tiled) and the XLA blocked path
+    # elsewhere. 'fused'/'windowed' are the retained alternatives.
     parser.add_argument("--prop-backend", default="auto", type=str,
-                        choices=["auto", "xla", "fused", "fused_interpret"])
+                        choices=["auto", "xla", "tiled", "windowed",
+                                 "fused", "fused_interpret"])
 
     args = parser.parse_args(argv)
     args.device = "tpu"

@@ -1,12 +1,20 @@
 """Fused Pallas top-k affinity kernel for label propagation.
 
+STATUS (round 2, honest measurement): this kernel is numerically correct
+and kept under test, but it is NOT the production fast path. Fetch-synced
+timing on v5e showed it at parity with the XLA blocked path (~70 ms/target
+at DAVIS 480p) — the interim figures that showed it far ahead were timed
+with ``jax.block_until_ready``, which is a no-op through the dev tunnel.
+The production default is ``topk_affinity_tiled`` (eval/propagation.py):
+one ``lax.top_k`` call per target over static radius windows, 42 ms/target
+(``lax.top_k`` costs ~4.7 ms per CALL nearly independent of width, so call
+count — not candidate count — is what matters).
+
 The eval hot loop (reference code/utils/test_utils.py:148-179, re-designed in
 videowalk_tpu/eval/propagation.py) computes, per target frame, the top-k
 softmax affinities between every query node and ~L*HW context nodes. The XLA
 path materializes per-frame (HW, HW) affinity blocks in HBM and runs
-``jax.lax.top_k`` over them — at DAVIS 480p that is ~165 MB of HBM traffic
-per context frame plus a sort-based top-k, measured at 3.0 fps (round-1
-STATUS.md).
+``jax.lax.top_k`` over them.
 
 This kernel fuses the whole per-target-frame affinity pipeline on-chip:
 

@@ -63,14 +63,34 @@ class DataLoader:
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            """Bounded put that observes early consumer exit: a consumer that
+            stops iterating sets ``stop``, and a producer blocked on a full
+            queue must see it rather than leak as a blocked daemon thread."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for batch_idx in batches:
-                    if stop.is_set():
-                        return
-                    items = list(pool.map(self.dataset.__getitem__, batch_idx))
-                    out_q.put(self.collate_fn(items))
-            out_q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for batch_idx in batches:
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self.dataset.__getitem__,
+                                              batch_idx))
+                        if not _put(self.collate_fn(items)):
+                            return
+            except BaseException as e:
+                # Worker failures must surface in the consumer, not strand it
+                # on a queue that will never be fed (the pre-fix behavior).
+                _put(e)
+                return
+            _put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -79,6 +99,8 @@ class DataLoader:
                 batch = out_q.get()
                 if batch is None:
                     break
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

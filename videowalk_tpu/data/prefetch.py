@@ -57,15 +57,33 @@ class DevicePrefetcher:
 
     def __iter__(self) -> Iterator:
         q: queue.Queue = queue.Queue(maxsize=self.size)
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            """Bounded put that observes consumer cancellation: a blocked
+            ``put`` polls ``stop`` so early consumer exit (a break at
+            --steps-per-epoch, or an exception in the step loop) terminates
+            the producer promptly instead of decoding + device_put-ing the
+            entire remaining epoch."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for item in self.loader:
-                    q.put(_to_device(item))
+                    if stop.is_set():
+                        return
+                    if not _put(_to_device(item)):
+                        return
             except BaseException as e:  # re-raise in consumer
-                q.put(e)
+                _put(e)
                 return
-            q.put(self._SENTINEL)
+            _put(self._SENTINEL)
 
         th = threading.Thread(target=producer, daemon=True)
         th.start()
@@ -78,10 +96,9 @@ class DevicePrefetcher:
                     raise item
                 yield item
         finally:
-            # unblock the producer if the consumer stops early
-            while th.is_alive():
-                try:
-                    q.get_nowait()
-                except queue.Empty:
-                    pass
-                th.join(timeout=0.1)
+            # Cancel the producer first, then give it a moment to exit; it
+            # is a daemon thread, so even a producer mid-device_put cannot
+            # outlive the process, and the stop flag bounds its extra work
+            # to at most one in-flight batch.
+            stop.set()
+            th.join(timeout=5.0)

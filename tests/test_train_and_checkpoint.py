@@ -227,3 +227,36 @@ def test_teacher_student_torch_keys():
     assert "encoder.model.conv1.weight" in tstate          # student tower
     assert "teacher.encoder.model.conv1.weight" in tstate  # teacher tower
     assert "selfsim_fc.0.weight" in tstate and "selfsim_fc.0.bias" in tstate
+
+
+def test_finite_loss_guard_aborts_on_nan():
+    """The always-on guard in train_one_epoch raises FloatingPointError at
+    the first print-freq fetch of a non-finite loss (VERDICT r2 item 8; the
+    analogue of the reference's set_detect_anomaly, code/train.py:27)."""
+    import types
+
+    from videowalk_tpu.cli.train import train_one_epoch
+    from videowalk_tpu.utils.arguments import train_args
+
+    args = train_args([
+        "--data-path", "/nonexistent", "--steps-per-epoch", "3",
+        "--print-freq", "1", "--prob", "1.0", "--output-dir", ""])
+    fake_state = types.SimpleNamespace(step=0)
+
+    def nan_step(state, batch, key):
+        return state, {"loss": jnp.float32(np.nan)}
+
+    steps = {"patch": nan_step, "superpixel": nan_step, "milestones": []}
+    views = {"grid": np.zeros((1, 2, 4, 8, 8, 3), np.float32)}
+    loader = [(views, None, 0)] * 3
+    with pytest.raises(FloatingPointError, match="non-finite loss"):
+        train_one_epoch(args, None, steps, fake_state, loader, epoch=0,
+                        mesh=None, rng=jax.random.PRNGKey(0),
+                        checkpoint_fn=None, device_slic_fn=None)
+
+
+def test_debug_nans_flag_parses():
+    from videowalk_tpu.utils.arguments import train_args
+
+    assert train_args(["--data-path", "x", "--debug-nans"]).debug_nans
+    assert not train_args(["--data-path", "x"]).debug_nans

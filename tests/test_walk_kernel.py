@@ -27,6 +27,17 @@ def test_fused_matches_xla_loss_and_diags():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_fused_gradients_match_xla_small():
+    """Default-tier representative of the slow gradient-parity sweep
+    (ADVICE r2): one small shape so a VJP regression surfaces without
+    --runslow."""
+    q = rand_q(B=1, C=32, T=3, N=16, seed=4)
+    g_ref = jax.grad(lambda x: crw_walk_loss(x, 0.05)[0])(q)
+    g_fused = jax.grad(lambda x: fused_walk_loss(x, 0.05)[0])(q)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_fused_gradients_match_xla():
     q = rand_q(seed=1)

@@ -201,6 +201,16 @@ def train_one_epoch(args, models, steps, state, data_loader, epoch, mesh,
         last = step_i + 1 >= min(args.steps_per_epoch, len(data_loader))
         if step_i % fetch_every == 0 or last:
             loss = float(metrics["loss"])  # blocks through this step
+            if not np.isfinite(loss):
+                # Always-on analogue of the reference's global anomaly mode
+                # (code/train.py:27): a NaN/Inf loss aborts at the next
+                # print-freq fetch instead of silently corrupting the run.
+                where = args.output_dir or "<no --output-dir>"
+                raise FloatingPointError(
+                    f"non-finite loss {loss} at epoch {epoch} step {step_i} "
+                    f"(global step {global_step}). Re-run with --debug-nans "
+                    f"to locate the producing op, or lower --lr / raise "
+                    f"--temp; the last checkpoint in {where} is intact.")
             lr = float(multistep_lr(args.lr, steps["milestones"],
                                     args.lr_gamma)(global_step))
             metric_logger.update(loss=loss, lr=lr)
@@ -218,6 +228,11 @@ def train_one_epoch(args, models, steps, state, data_loader, epoch, mesh,
 
 
 def main(args):
+    if getattr(args, "debug_nans", False):
+        # Opt-in analogue of the reference's set_detect_anomaly(True)
+        # (code/train.py:27): every primitive's output is NaN-checked and
+        # the run errors at the producing op. Expensive; debugging only.
+        jax.config.update("jax_debug_nans", True)
     if args.teacher_student:
         assert args.prob == 1, (
             "Teacher-Student training is not yet compatible with "
@@ -310,6 +325,27 @@ def main(args):
         variables = partial_load(ckpt["model"], variables)
         state = state.replace(params=variables["params"],
                               batch_stats=variables["batch_stats"])
+
+    # Resume from a native orbax directory: lossless restore of params,
+    # batch_stats, optimizer state, and step (the .pth path below restores
+    # the optimizer only when the file was written by this framework).
+    # Reference analogue: code/train.py:272-277 restores model+optimizer+
+    # scheduler+epoch; orbax is the TPU-native superset of that.
+    if args.resume and os.path.isdir(args.resume):
+        from videowalk_tpu.utils.checkpoint import load_checkpoint_orbax
+
+        template = {"params": state.params, "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state, "step": int(state.step)}
+        tree, meta = load_checkpoint_orbax(args.resume, item=template)
+        state = state.replace(
+            params=jax.tree_util.tree_map(jnp.asarray, tree["params"]),
+            batch_stats=jax.tree_util.tree_map(jnp.asarray,
+                                               tree["batch_stats"]),
+            opt_state=jax.tree_util.tree_map(jnp.asarray, tree["opt_state"]),
+            step=jnp.asarray(int(tree["step"]), jnp.int32))
+        args.start_epoch = int(meta.get("epoch", -1)) + 1
+        print(f"Resumed (orbax) from {args.resume}: "
+              f"step={int(tree['step'])}, start_epoch={args.start_epoch}")
 
     # Resume (reference train.py:272-277)
     if args.resume and os.path.isfile(args.resume):

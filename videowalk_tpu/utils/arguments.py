@@ -201,6 +201,14 @@ def train_args(argv=None):
                         help="pth (reference-compatible torch dict) | orbax "
                              "(native sharded checkpoints; also writes the "
                              "optimizer state losslessly)")
+    parser.add_argument("--debug-nans", default=False, action="store_true",
+                        help="enable jax.config.jax_debug_nans: every jitted "
+                             "op re-checks for NaNs and errors at the "
+                             "producing primitive (the analogue of the "
+                             "reference's always-on autograd anomaly mode, "
+                             "code/train.py:27; slow — debugging only). A "
+                             "cheap finite-loss guard is always on at each "
+                             "--print-freq fetch regardless of this flag.")
 
     args = parser.parse_args(argv)
 

@@ -290,8 +290,15 @@ def save_checkpoint_orbax(directory: str, state_pytree: Any,
             json.dump(dict(metadata), f)
 
 
-def load_checkpoint_orbax(directory: str) -> tuple[Any, dict]:
-    """Read an orbax checkpoint; returns (state_pytree, metadata)."""
+def load_checkpoint_orbax(directory: str,
+                          item: Any = None) -> tuple[Any, dict]:
+    """Read an orbax checkpoint; returns (state_pytree, metadata).
+
+    ``item``: optional template pytree. When given, orbax restores INTO that
+    structure (named tuples, optax states) instead of raw nested dicts/lists
+    — this is what makes ``--resume <orbax_dir>`` lossless for optimizer
+    state, unlike the .pth shim's numpy-tree round trip.
+    """
     import json
     import os
 
@@ -299,7 +306,8 @@ def load_checkpoint_orbax(directory: str) -> tuple[Any, dict]:
 
     directory = os.path.abspath(directory)
     ckptr = ocp.PyTreeCheckpointer()
-    tree = ckptr.restore(directory)
+    tree = ckptr.restore(directory, item=item) if item is not None \
+        else ckptr.restore(directory)
     meta_path = os.path.join(directory, "metadata.json")
     meta = {}
     if os.path.exists(meta_path):

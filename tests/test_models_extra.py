@@ -83,7 +83,8 @@ def _conv_w(p):
 
 @pytest.mark.slow
 def test_resnet50_matches_torch_oracle():
-    spec = make_encoder("imagenet50", pretrained_path="unused-dummy")
+    spec = make_encoder("imagenet50")  # weight import covered by
+    # tests/test_pretrained_import.py; here random init vs torch oracle
     rng = np.random.RandomState(0)
     x = rng.randn(1, 1, 32, 32, 3).astype(np.float32)
     variables = spec.module.init(jax.random.PRNGKey(0), jnp.asarray(x),

@@ -33,6 +33,7 @@ from videowalk_tpu.utils import load_checkpoint, partial_load
 def build_model(args):
     cfg = CRWConfig(
         model_type=args.model_type,
+        pretrained_path=getattr(args, "pretrained_path", ""),
         remove_layers=tuple(args.remove_layers),
         head_depth=args.head_depth,
         temperature=args.temperature,
@@ -217,6 +218,18 @@ def main(args):
     dummy = jnp.zeros((1, 1, 64, 64, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), dummy, just_feats=True,
                            train=False)
+    # pretrained model types initialize the encoder from a local file first
+    # (the reference's make_encoder does this during construction,
+    # code/utils/__init__.py:300-351); --resume then overrides as usual
+    from videowalk_tpu.utils.pretrained import (PRETRAINED_TYPES,
+                                                apply_pretrained_encoder)
+
+    if args.model_type in PRETRAINED_TYPES:
+        variables = apply_pretrained_encoder(
+            variables, args.model_type,
+            getattr(args, "pretrained_path", ""), verbose=False)
+        print(f"Loaded pretrained {args.model_type} encoder from "
+              f"{args.pretrained_path}")
     if args.resume and os.path.isfile(args.resume):
         print("==> Resuming from checkpoint..")
         ckpt = load_checkpoint(args.resume)

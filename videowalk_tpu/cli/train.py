@@ -40,6 +40,7 @@ from videowalk_tpu.utils import (MetricLogger, SmoothedValue, load_checkpoint,
 def model_config(args) -> CRWConfig:
     return CRWConfig(
         model_type=args.model_type,
+        pretrained_path=getattr(args, "pretrained_path", ""),
         remove_layers=tuple(args.remove_layers),
         head_depth=args.head_depth,
         temperature=args.temp,
@@ -308,6 +309,22 @@ def main(args):
         state = create_train_state(
             model, optimizer, jnp.asarray(views0["whole"][None]), rng0,
             sp_mask=mask0)
+
+    # Pretrained encoder weights (reference make_encoder downloads + munges
+    # these inside model construction, code/utils/__init__.py:300-351; here
+    # params exist only after init, so the import happens now)
+    from videowalk_tpu.utils.pretrained import (PRETRAINED_TYPES,
+                                                apply_pretrained_encoder)
+
+    if args.model_type in PRETRAINED_TYPES:
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        variables = apply_pretrained_encoder(
+            variables, args.model_type,
+            getattr(args, "pretrained_path", ""), verbose=False)
+        state = state.replace(params=variables["params"],
+                              batch_stats=variables["batch_stats"])
+        print(f"Loaded pretrained {args.model_type} encoder weights from "
+              f"{args.pretrained_path}")
 
     # Teacher weights (reference teacherstudent.py:321-328)
     if args.teacher_student and os.path.isfile(args.path_to_pretrained):

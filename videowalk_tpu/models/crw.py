@@ -46,6 +46,11 @@ class CRWConfig:
     (code/utils/arguments.py:97-256; consumed at code/model.py:14-38)."""
 
     model_type: str = "scratch"
+    # local checkpoint consumed by pretrained model types (imagenet18/50,
+    # moco50, timecycle, uvc); applied to the init'd variables by the CLIs
+    # via utils.pretrained.apply_pretrained_encoder (reference analogue:
+    # code/utils/__init__.py:300-351 loads inside make_encoder)
+    pretrained_path: str = ""
     remove_layers: tuple = ()
     head_depth: int = 0
     temperature: float = 0.07        # --temp
@@ -282,6 +287,7 @@ class CRW(nn.Module):
     def setup(self):
         self.spec: EncoderSpec = make_encoder(
             self.cfg.model_type, self.cfg.remove_layers, dtype=self.cfg.dtype,
+            pretrained_path=self.cfg.pretrained_path or None,
             remat=self.cfg.remat)
         self.encoder = self.spec.module
         self.selfsim_fc = Head(

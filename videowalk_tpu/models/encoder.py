@@ -51,11 +51,28 @@ class EncoderSpec:
     module: From3D
     hid_dim: int
     map_scale: int  # input px per output feature px (8 for the encoder default)
-    pretrained_path: str | None = None  # .pth to partial-load after init
+    model_type: str = "scratch"
+    pretrained_path: str | None = None  # local ckpt consumed by init_params
 
     def init_params(self, rng: jax.Array, img_size: int = 256) -> dict:
+        """Init encoder variables; import pretrained weights when the spec
+        carries a checkpoint path (reference code/utils/__init__.py:300-351
+        does this inside make_encoder; here params only exist post-init)."""
         dummy = jnp.zeros((1, 1, img_size, img_size, 3), jnp.float32)
-        return self.module.init(rng, dummy, train=False)
+        variables = self.module.init(rng, dummy, train=False)
+        if self.pretrained_path:
+            from videowalk_tpu.utils.pretrained import load_pretrained_state
+
+            from videowalk_tpu.utils.checkpoint import partial_load
+
+            state = load_pretrained_state(self.model_type,
+                                          self.pretrained_path)
+            # encoder-subtree variables: torch names have no tower prefix,
+            # but the flax tree root is the From3D "model" scope
+            variables = partial_load(
+                {"model." + k: v for k, v in state.items()}, variables,
+                verbose=False)
+        return variables
 
 
 def _map_scale(trunk: ResNet) -> int:
@@ -108,15 +125,15 @@ def make_encoder(
     else:
         raise ValueError(f"invalid model_type: {model_type!r}")
 
-    if needs_ckpt and not pretrained_path:
-        raise ValueError(
-            f"model_type={model_type!r} needs a local checkpoint "
-            f"({needs_ckpt}); pass pretrained_path= (no network access here; "
-            f"the reference downloads these at code/utils/__init__.py:313-330)")
+    # Construction is always allowed (weights live outside flax modules);
+    # pretrained types WITHOUT a local checkpoint fail at weight-import time
+    # with an actionable message (utils/pretrained.apply_pretrained_encoder).
+    del needs_ckpt
 
     return EncoderSpec(
         module=From3D(model=trunk),
         hid_dim=trunk.hid_dim,
         map_scale=_map_scale(trunk),
+        model_type=model_type,
         pretrained_path=pretrained_path,
     )

@@ -62,6 +62,13 @@ def test_args(argv=None):
     parser.add_argument("--finetune", default=0, type=int)
     parser.add_argument("--pca-vis", default=False, action="store_true")
 
+    # TPU extension: pretrained model types (imagenet18/50, moco50,
+    # timecycle, uvc) read this local file instead of downloading
+    # (reference code/utils/__init__.py:313-330; zero egress here).
+    parser.add_argument("--pretrained-path", default="", type=str,
+                        help="local .pth/.pth.tar for pretrained encoder "
+                             "model types")
+
     # TPU extension: propagation backend — 'auto' picks 'tiled' on TPU (one
     # top_k per target over static radius windows, the measured fast path;
     # eval/propagation.py topk_affinity_tiled) and the XLA blocked path
@@ -201,6 +208,11 @@ def train_args(argv=None):
                         help="pth (reference-compatible torch dict) | orbax "
                              "(native sharded checkpoints; also writes the "
                              "optimizer state losslessly)")
+    parser.add_argument("--pretrained-path", default="", type=str,
+                        help="local .pth/.pth.tar consumed by pretrained "
+                             "encoder model types (imagenet18/50, moco50, "
+                             "timecycle, uvc); the reference downloads "
+                             "these (code/utils/__init__.py:313-330)")
     parser.add_argument("--debug-nans", default=False, action="store_true",
                         help="enable jax.config.jax_debug_nans: every jitted "
                              "op re-checks for NaNs and errors at the "

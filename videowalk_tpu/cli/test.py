@@ -47,8 +47,18 @@ def build_model(args):
 # (model config, minibatch resolution) for the whole sweep. Round 1 defined a
 # fresh @jax.jit closure inside encode_video -> a retrace per video
 # (VERDICT.md weak #2).
-@partial(jax.jit, static_argnames=("model",))
-def _encode_batch(model, v, x):
+@partial(jax.jit, static_argnames=("model", "normalize"))
+def _encode_batch(model, v, x, normalize=False):
+    if normalize:
+        # frames arrive as raw uint8 (4x less host->device traffic than the
+        # normalized f32 the reference ships, code/test.py:84-90); the
+        # ImageNet normalization runs on device in f32 — bitwise the same
+        # arithmetic as the host path in data/vos.py:138
+        from videowalk_tpu.data.vos import IMAGENET_MEAN, IMAGENET_STD
+
+        x = ((x.astype(jnp.float32) / 255.0
+              - jnp.asarray(IMAGENET_MEAN, jnp.float32))
+             / jnp.asarray(IMAGENET_STD, jnp.float32))
     q, maps = model.apply(v, x, just_feats=True, train=False)
     return maps  # (B, T, H', W', C)
 
@@ -58,12 +68,14 @@ def encode_video(model, variables, imgs: np.ndarray, batch_size: int = 5,
     """Per-frame encoder features, minibatched (reference test.py:84-93).
 
     Args:
-      imgs: (N, H, W, 3) normalized frames.
+      imgs: (N, H, W, 3) frames — normalized float32, or raw uint8 (then
+        normalization happens on device inside the encode jit).
     Returns:
       (N, C, H', W') L2-normalized features.
     """
     feats = []
     N = imgs.shape[0]
+    normalize = imgs.dtype == np.uint8
     # fixed minibatch with padding: one compile for all videos; chunks stay
     # on device (no host round-trips — the reference offloads each chunk to
     # CPU, code/test.py:89, which costs dearly through a remote tunnel)
@@ -73,7 +85,8 @@ def encode_video(model, variables, imgs: np.ndarray, batch_size: int = 5,
         if pad:
             chunk = np.concatenate(
                 [chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
-        m = _encode_batch(model, variables, jnp.asarray(chunk)[None])[0]
+        m = _encode_batch(model, variables, jnp.asarray(chunk)[None],
+                          normalize=normalize)[0]
         feats.append(m[:batch_size - pad] if pad else m)
     feats = jnp.concatenate(feats)[:N]           # (N, H', W', C)
     feats = jnp.moveaxis(feats, -1, 1)           # (N, C, H', W')
@@ -117,11 +130,53 @@ def warn_inert_flags(args) -> None:
             print(f"WARNING: --{name} has no effect here: {why}", flush=True)
 
 
+def _prefetch_iter(gen, depth: int = 1):
+    """Background-thread prefetch over a video iterator: the next video's
+    dataset work (disk reads, one-hot caches — seconds per 480p video)
+    overlaps the current video's device compute + dumps. Exceptions re-raise
+    at the consumer; early consumer exit unblocks the producer (same error
+    contract as data/loader.py)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    DONE = object()
+
+    def produce():
+        try:
+            for item in gen:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            q.put(DONE)
+        except BaseException as e:  # noqa: BLE001 — re-raised at consumer
+            q.put(e)
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+
+
 def test(loader, model, variables, args):
     n_context = args.videoLen
 
     for vid_idx, (imgs, imgs_orig, lbls_resize, lbls_orig, lbl_map, meta) \
-            in enumerate(loader):
+            in enumerate(_prefetch_iter(loader)):
         t_vid = time.time()
         N = imgs.shape[0]
         print(f"******* Vid {vid_idx} ({N} frames) *******", flush=True)
@@ -171,7 +226,9 @@ def test(loader, model, variables, args):
                 if args.norm_mask:
                     pred -= pred.min(-1, keepdims=True)
                     pred /= np.maximum(pred.max(-1, keepdims=True), 1e-12)
-                cur_img = imgs_orig[t + n_context] * 255
+                frame = imgs_orig[t + n_context]
+                cur_img = (frame.astype(np.float32)
+                           if frame.dtype == np.uint8 else frame * 255)
 
                 if "jhmdb" in args.filelist.lower():
                     coords, _ = test_utils.process_pose(pred, lbl_map)

@@ -114,8 +114,24 @@ class VOSDataset:
         img_paths, lbl_paths = self.make_paths(folder_path, label_path)
         frame_num = len(img_paths)
 
+        # At the config of record (--cropSize -1: no resize) with standard
+        # color, frames stay RAW uint8 RGB; the ImageNet normalization runs
+        # on device inside the encode jit (cli/test.py::_encode_batch) —
+        # bitwise the same f32 arithmetic, 4x less host work + host->device
+        # traffic than shipping normalized float32 (the reference normalizes
+        # on host, code/data/vos.py:173,214).
+        raw_u8 = self.imgSize <= 0 and not self.use_lab
         imgs, imgs_orig, lbls = [], [], []
         for i in range(frame_num):
+            if raw_u8:
+                bgr = cv2.imread(img_paths[i])
+                if bgr is None:
+                    raise IOError(f"cannot read image: {img_paths[i]}")
+                img = bgr[:, :, ::-1].copy()        # uint8 RGB
+                imgs.append(img)
+                imgs_orig.append(img)
+                lbls.append(cv2.imread(lbl_paths[i]).copy())
+                continue
             img = load_image(img_paths[i])
             lblimg = cv2.imread(lbl_paths[i])
             ht, wd = img.shape[:2]
@@ -190,7 +206,13 @@ class VOSDataset:
             for _ in range(len(lbl_paths) - self.videoLen):
                 resizes.append(np.zeros(resizes[0].shape))
 
-        imgs = np.stack(imgs).astype(np.float32)
-        imgs_orig = np.stack(imgs_orig).astype(np.float32)
+        if raw_u8:
+            # uint8 through and through; consumers scale at use site
+            # (cli/test.py) — avoids two ~300 MB f32 copies per 480p video
+            imgs = np.stack(imgs)
+            imgs_orig = imgs
+        else:
+            imgs = np.stack(imgs).astype(np.float32)
+            imgs_orig = np.stack(imgs_orig).astype(np.float32)
         lbls_resize = np.stack(resizes).astype(np.float32)
         return imgs, imgs_orig, lbls_resize, lbls, lblset, meta

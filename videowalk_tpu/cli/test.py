@@ -260,6 +260,9 @@ def test(loader, model, variables, args):
 def main(args):
     import jax as _jax
 
+    from videowalk_tpu.utils.platform import respect_jax_platforms_env
+
+    respect_jax_platforms_env()
     print("jax devices:", _jax.devices())
     warn_inert_flags(args)
     model, spec = build_model(args)

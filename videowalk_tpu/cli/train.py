@@ -229,6 +229,9 @@ def train_one_epoch(args, models, steps, state, data_loader, epoch, mesh,
 
 
 def main(args):
+    from videowalk_tpu.utils.platform import respect_jax_platforms_env
+
+    respect_jax_platforms_env()
     if getattr(args, "debug_nans", False):
         # Opt-in analogue of the reference's set_detect_anomaly(True)
         # (code/train.py:27): every primitive's output is NaN-checked and

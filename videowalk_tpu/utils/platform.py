@@ -1,0 +1,30 @@
+"""Backend-selection hygiene for the CLI drivers.
+
+In images where a TPU PJRT plugin is injected via ``PYTHONPATH`` (e.g. the
+axon tunnel used for development), the plugin can register itself in a way
+that shadows the standard ``JAX_PLATFORMS`` environment variable — a user
+(or a subprocess test) exporting ``JAX_PLATFORMS=cpu`` still gets the TPU
+backend. The config API is authoritative, so the drivers re-assert the env
+var through it before first backend use.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def respect_jax_platforms_env() -> None:
+    """Make ``JAX_PLATFORMS`` authoritative over injected PJRT plugins.
+
+    Call before the first ``jax.devices()`` / first jit dispatch. No-op when
+    the variable is unset or the backend is already initialized.
+    """
+    plats = os.environ.get("JAX_PLATFORMS", "").strip()
+    if not plats:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", plats)
+    except Exception:
+        pass  # backend already initialized; too late to change

@@ -7,12 +7,13 @@
 DAVIS=${DAVIS:-/data/DAVIS}
 CKPT=${CKPT:-checkpoints/latest/checkpoint.pth}
 OUT=${OUT:-results}
+VALLIST=${VALLIST:-davis_vallist.txt}
 
 python -m videowalk_tpu.eval.make_davis_vallist --davis "$DAVIS" \
-  --out davis_vallist.txt
+  --out "$VALLIST"
 
 python test.py \
-  --filelist davis_vallist.txt \
+  --filelist "$VALLIST" \
   --model-type scratch \
   --resume "$CKPT" \
   --save-path "$OUT" \

@@ -1,8 +1,11 @@
 """Sweep orchestrator unit tests (videowalk_tpu/eval/run_test.py)."""
 
 import os
+import subprocess
+import sys
 import time
 
+import numpy as np
 import pytest
 
 from videowalk_tpu.eval.run_test import newest_model, run_one
@@ -48,6 +51,53 @@ def test_run_one_sbatch_emits_script(tmp_path, monkeypatch):
     script = os.path.join(args.out_dir, "model_5_L20_K10_T0.05_R12.0",
                           "job.sh")
     body = open(script).read()
-    assert "test.py" in body and "convert_davis" in body \
+    assert "videowalk_tpu.cli.test" in body and "convert_davis" in body \
         and "davis_metrics" in body
     assert calls and calls[0][0][0] == "sbatch"
+
+
+@pytest.mark.slow
+def test_sweep_full_happy_path_subprocess(tmp_path):
+    """The WHOLE grid executes as real subprocesses: 2 checkpoints (one via
+    newest-model auto-pick from a directory) x 2 K values -> test.py ->
+    convert_davis -> davis_metrics, each combo producing a J&F (VERDICT r2
+    item 5: run_one had never been executed)."""
+    from _synth import make_crw_checkpoint, make_davis_tree
+    from videowalk_tpu.eval.make_davis_vallist import make_list
+
+    davis = make_davis_tree(str(tmp_path / "DAVIS"), vids=("video0",))
+    fl = tmp_path / "davis_vallist.txt"
+    fl.write_text("\n".join(make_list(str(tmp_path / "DAVIS"))) + "\n")
+
+    ckdir = tmp_path / "ckpts"
+    ckdir.mkdir()
+    make_crw_checkpoint(str(ckdir / "model_0.pth"), "scratch_zeropad", seed=0)
+    time.sleep(0.05)
+    make_crw_checkpoint(str(ckdir / "model_1.pth"), "scratch_zeropad", seed=1)
+    ck2 = make_crw_checkpoint(str(tmp_path / "other.pth"), "scratch_zeropad",
+                              seed=2)
+
+    out_dir = str(tmp_path / "sweep")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))) + os.pathsep + env.get("PYTHONPATH", ""))
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = ""
+    r = subprocess.run(
+        [sys.executable, "-m", "videowalk_tpu.eval.run_test",
+         "--checkpoints", str(ckdir), str(ck2),
+         "--filelist", str(fl), "--davis", davis,
+         "--model-type", "scratch_zeropad", "--out-dir", out_dir,
+         "--L", "3", "--K", "3", "5", "--R", "6"],
+        env=env, capture_output=True, text=True, timeout=2700)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
+    # newest-model auto-pick: model_1 (newer mtime), never model_0
+    names = os.listdir(out_dir)
+    assert sorted(names) == sorted([
+        "model_1_L3_K3_T0.05_R6.0", "model_1_L3_K5_T0.05_R6.0",
+        "other_L3_K3_T0.05_R6.0", "other_L3_K5_T0.05_R6.0"]), names
+    # every combo produced converted masks and a J&F line
+    assert r.stdout.count("J&F-Mean") == 4, r.stdout[-1500:]
+    for n in names:
+        assert os.path.exists(os.path.join(out_dir, n, "converted",
+                                           "video0", "00000.png"))

@@ -40,7 +40,9 @@ def run_one(ckpt: str, L: int, K: int, T: float, R: float, args) -> dict:
     os.makedirs(save_path, exist_ok=True)
 
     cmds = [
-        [sys.executable, "test.py",
+        # module invocation (not a cwd-relative "test.py"): works from any
+        # working directory as long as the package is importable
+        [sys.executable, "-m", "videowalk_tpu.cli.test",
          "--filelist", args.filelist,
          "--model-type", args.model_type,
          "--resume", ckpt,

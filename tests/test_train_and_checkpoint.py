@@ -53,6 +53,25 @@ def test_multistep_lr_schedule():
     assert float(sched(25)) == pytest.approx(0.01)
 
 
+def test_sharded_step_matches_single_device_small():
+    """Default-tier representative of the mesh-parity risk area (ADVICE r2):
+    layer1-only encoder keeps the two CPU compiles cheap; the full-model
+    sweep stays in the slow tier below."""
+    model, optimizer, state = make_model_and_state(
+        remove_layers=("layer2", "layer3", "layer4"))
+    step = make_train_step(model, optimizer, donate=False)
+    batch = tiny_batch(B=8)
+    key = jax.random.PRNGKey(42)
+    _, metrics_single = step(state, batch, key)
+    mesh = make_mesh(8)
+    with mesh:
+        state_r = replicate(state, mesh)
+        batch_s = shard_batch(batch, mesh)
+        _, metrics_sharded = step(state_r, batch_s, key)
+    np.testing.assert_allclose(float(metrics_single["loss"]),
+                               float(metrics_sharded["loss"]), rtol=1e-5)
+
+
 @pytest.mark.slow
 def test_sharded_step_matches_single_device():
     """Data-parallel step over the 8-device mesh == single-device step."""

@@ -1,0 +1,73 @@
+"""Block-sparse Pallas propagation kernel vs the XLA blocked backend
+(interpret mode on the CPU test platform; the same kernel compiles on TPU —
+selected with --prop-backend sparse)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from videowalk_tpu.eval import context_index_bank
+from videowalk_tpu.eval.propagation import propagate_labels
+
+
+def _setup(seed, n_context, N_targets, C, H, W, n_lbl):
+    rng = np.random.RandomState(seed)
+    N = N_targets + n_context
+    feats = rng.randn(N, C, H, W).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    labels0 = np.zeros((N, H, W, n_lbl), np.float32)
+    onehot = rng.randint(0, n_lbl, (H, W))
+    labels0[: n_context + 1] = np.eye(n_lbl, dtype=np.float32)[onehot]
+    return feats, labels0
+
+
+@pytest.mark.parametrize("H,W,radius,topk", [
+    (9, 12, 3.0, 5),    # off-tile shapes: query-grid padding + halo clip
+    (8, 8, 6.0, 3),     # window covers the whole frame
+    (16, 11, 4.0, 7),   # two tile rows
+])
+def test_sparse_matches_blocked(H, W, radius, topk):
+    n_context, N_targets, C, n_lbl = 3, 5, 8, 4
+    feats, labels0 = _setup(0, n_context, N_targets, C, H, W, n_lbl)
+    key_indices = context_index_bank(n_context, [0], N_targets)
+    kw = dict(n_context=n_context, n_long=1, topk=topk, temperature=0.07,
+              radius=radius)
+    want = np.asarray(propagate_labels(
+        jnp.asarray(feats), jnp.asarray(labels0), jnp.asarray(key_indices),
+        backend="xla", **kw))
+    got = np.asarray(propagate_labels(
+        jnp.asarray(feats), jnp.asarray(labels0), jnp.asarray(key_indices),
+        backend="sparse_interpret", **kw))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sparse_matches_blocked_two_long_frames():
+    """n_long=2 exercises the multi-long-row path and the index bank's
+    delayed second anchor."""
+    H, W = 9, 12
+    n_context, N_targets, C, n_lbl = 2, 6, 8, 3
+    feats, labels0 = _setup(1, n_context, N_targets, C, H, W, n_lbl)
+    key_indices = context_index_bank(n_context, [0, 1], N_targets)
+    kw = dict(n_context=n_context, n_long=2, topk=4, temperature=0.05,
+              radius=3.0)
+    want = np.asarray(propagate_labels(
+        jnp.asarray(feats), jnp.asarray(labels0), jnp.asarray(key_indices),
+        backend="xla", **kw))
+    got = np.asarray(propagate_labels(
+        jnp.asarray(feats), jnp.asarray(labels0), jnp.asarray(key_indices),
+        backend="sparse_interpret", **kw))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sparse_first_target_is_ground_truth():
+    """The reference quirk (code/test.py:156-160) survives the kernel path."""
+    H, W = 8, 8
+    n_context, N_targets, C, n_lbl = 3, 4, 8, 4
+    feats, labels0 = _setup(2, n_context, N_targets, C, H, W, n_lbl)
+    key_indices = context_index_bank(n_context, [0], N_targets)
+    got = np.asarray(propagate_labels(
+        jnp.asarray(feats), jnp.asarray(labels0), jnp.asarray(key_indices),
+        backend="sparse_interpret", n_context=n_context, n_long=1, topk=3,
+        temperature=0.07, radius=6.0))
+    np.testing.assert_allclose(got[0], labels0[0], rtol=1e-6, atol=1e-7)

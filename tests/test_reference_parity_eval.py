@@ -80,7 +80,7 @@ def _reference_propagate(feats, lbls, n_context, long_mem, radius,
     return np.stack(preds)
 
 
-@pytest.mark.parametrize("backend", ["xla", "tiled"])
+@pytest.mark.parametrize("backend", ["xla", "tiled", "sparse_interpret"])
 def test_propagation_matches_reference(backend):
     rng = np.random.RandomState(0)
     n_context, n_t, C, H, W, n_lbl = 3, 6, 8, 9, 12, 4

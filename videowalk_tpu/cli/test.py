@@ -199,10 +199,10 @@ def test(loader, model, variables, args):
         t03 = time.time()
         backend = getattr(args, "prop_backend", "auto")
         if backend == "auto":
-            # tiled = one top_k per target over static radius windows — the
-            # measured fast path on TPU (42 ms/target at 480p vs ~150 ms
-            # blocked; lax.top_k has a ~4.7 ms fixed per-call cost and the
-            # blocked path pays it 42x per target). XLA blocked elsewhere.
+            # tiled = the round-2 measured fast path on TPU (42 ms/target at
+            # 480p, one lax.top_k per target). The block-sparse Pallas
+            # kernel (--prop-backend sparse) supersedes it once measured
+            # faster on hardware. XLA blocked elsewhere.
             backend = "tiled" if jax.default_backend() == "tpu" else "xla"
         # feats stay device-resident end-to-end (host round-tripping the
         # ~400 MB feature stack cost ~10 s/video through the dev tunnel)

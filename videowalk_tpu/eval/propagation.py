@@ -384,6 +384,11 @@ def propagate_labels(
     N, C, H, W = feats.shape
     HW = H * W
     n_lbl = labels0.shape[-1]
+    if backend in ("sparse", "sparse_interpret"):
+        return _propagate_labels_sparse(
+            feats, labels0, key_indices, n_context=n_context,
+            n_long=n_long, topk=topk, temperature=temperature,
+            radius=radius, interpret=backend == "sparse_interpret")
     fused = backend in ("fused", "fused_interpret")
     mask = (None if fused or backend == "windowed"
             else _spatial_mask(H, W, radius))
@@ -434,6 +439,51 @@ def propagate_labels(
         return lbl_buf, pred
 
     _, preds = jax.lax.scan(step, lbl_buf, key_indices)
+    return preds.reshape(-1, H, W, n_lbl)
+
+
+def _propagate_labels_sparse(feats, labels0, key_indices, *, n_context,
+                             n_long, topk, temperature, radius, interpret):
+    """``propagate_labels`` via the block-sparse Pallas kernel
+    (ops/prop_sparse_kernel.py): keys and the label buffer live in a
+    zero-padded (N, H+2r, W+2r, .) halo layout so the kernel's per-tile
+    windows are static strided slices; the scan carries the padded buffer."""
+    from videowalk_tpu.ops.prop_sparse_kernel import (long_rows_for_sparse,
+                                                      pad_for_sparse,
+                                                      sparse_topk_propagate)
+
+    N, C, H, W = feats.shape
+    HW = H * W
+    n_lbl = labels0.shape[-1]
+    r = int(np.floor(radius))
+    feats_pad = pad_for_sparse(feats.reshape(N, C, HW), radius, H, W)
+    # same halo + tile-grid padding as the keys (kernel window slices)
+    _, Hh, Wh, _ = feats_pad.shape
+    lbl_pad = jnp.pad(labels0.reshape(N, H, W, n_lbl),
+                      ((0, 0), (r, Hh - H - r), (r, Wh - W - r), (0, 0)))
+
+    def step(lbl_pad, idx_row):
+        t_global = idx_row[-1] + 1
+        fr = jax.lax.dynamic_index_in_dim(feats_pad, t_global, 0,
+                                          keepdims=False)
+        query = jnp.moveaxis(fr[r:r + H, r:r + W], -1, 0).reshape(C, HW)
+        klong, llong = long_rows_for_sparse(feats_pad, lbl_pad,
+                                            idx_row[:n_long])
+        pred = sparse_topk_propagate(
+            query, feats_pad, lbl_pad, klong, llong, idx_row,
+            n_long=n_long, topk=topk, temperature=temperature,
+            radius=radius, H=H, W=W, interpret=interpret)   # (HW, n_lbl)
+        # Reference quirk (code/test.py:156-160): the FIRST target's
+        # prediction is replaced by the ground-truth frame-0 labels.
+        gt0 = lbl_pad[0, r:r + H, r:r + W].reshape(HW, n_lbl)
+        pred = jnp.where(t_global == n_context, gt0, pred)
+        lbl_pad = jax.lax.dynamic_update_slice(
+            lbl_pad, pred.reshape(1, H, W, n_lbl)
+            .astype(lbl_pad.dtype),
+            (t_global, jnp.int32(r), jnp.int32(r), jnp.int32(0)))
+        return lbl_pad, pred
+
+    _, preds = jax.lax.scan(step, lbl_pad, key_indices)
     return preds.reshape(-1, H, W, n_lbl)
 
 

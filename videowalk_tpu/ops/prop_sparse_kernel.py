@@ -1,0 +1,296 @@
+"""Pallas TPU kernel: block-sparse top-k label propagation (one fused pass).
+
+The eval hot loop (reference ``code/utils/test_utils.py:148-179`` +
+``code/test.py:145-160``) selects, per query cell, the top-k affinities over
+``n_long`` unmasked context frames plus 20 radius-masked short-term frames,
+softmaxes the k values, and mixes the source cells' labels. The round-2
+"tiled" XLA backend (eval/propagation.py::topk_affinity_tiled) already cut
+this to one ``lax.top_k`` per target, but it still
+
+- computes the FULL (HW x HW) affinity for every context frame on the MXU
+  even though the radius mask admits only a (2r+8)^2 window per 8x8 query
+  tile (~6.5x wasted FLOPs at DAVIS 480p, r=12),
+- writes ~600 MB of tiled candidate windows to HBM per target frame and
+  reads them back for the top-k,
+- pays ~5 ms for the ``lax.top_k`` call plus label gathers.
+
+This kernel does the whole thing in one pass per 8x8 query tile, entirely
+in VMEM: the halo window of each short-term frame is DMA'd from HBM
+(keys stay in a zero-padded (N, H+2r, W+2r, C) layout so every window is a
+static-size strided slice — no gathers), affinities are 21 small MXU
+matmuls, the top-k is a destructive k-pass max/mask sweep over the VMEM
+candidate row, and the label mixing folds into one sparse-weight matmul
+(U @ labels, with U holding ``exp(a_j - a_max)`` at the k selected columns)
+— so neither ``lax.top_k`` nor any XLA gather appears, and the only HBM
+traffic is the key/label windows themselves (~2.3 GB/target vs ~7 GB dense).
+
+Semantics match the tiled/blocked backends (torch.topk + softmax + weighted
+label sum) whenever each query has >= topk in-radius candidates — always at
+real eval shapes; ties resolve to the first (lowest flat index) candidate.
+
+Pinned by tests/test_prop_sparse_kernel.py against the XLA blocked backend,
+in interpret mode on CPU and compiled on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TQ = 8          # query tile side
+_NEG = -1e30    # "removed / invalid" candidate fill
+
+
+def _align(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _kernel(idx_ref,            # SMEM (L,) int32 context frame indices
+            q_ref,              # VMEM (TQ, TQ, C) query tile
+            klong_ref,          # VMEM (n_long, HWLp, C) long-term keys
+            llong_ref,          # VMEM (n_long, HWLp, nl) long-term labels
+            feats_ref,          # ANY  (N, Hh, Wh, C) padded per-frame keys
+            lbls_ref,           # ANY  (N, Hh, Wh, nl) padded label buffer
+            o_ref,              # VMEM (TQ*TQ, nl) tile predictions
+            cand_ref,           # scratch f32 (TQ2, CW)
+            u_ref,              # scratch f32 (TQ2, CW)
+            lab_ref,            # scratch f32 (CW, nl)
+            kwin_ref,           # scratch f32 (2, WIN, WIN, C)
+            lwin_ref,           # scratch f32 (2, WIN, WIN, nl)
+            ksem, lsem,         # DMA semaphores (2,)
+            *, H, W, Hh, Wh, r, n_long, n_short, topk, temperature, radius,
+            ntw):
+    C = q_ref.shape[-1]
+    nl = o_ref.shape[-1]
+    TQ2 = TQ * TQ
+    WIN = TQ + 2 * r
+    WIN2 = WIN * WIN
+    HWLp = klong_ref.shape[1]
+    CW = cand_ref.shape[1]
+    i = pl.program_id(0)
+    ti = i // ntw
+    tj = i % ntw
+    inv_t = 1.0 / temperature
+
+    q = q_ref[...].reshape(TQ2, C)
+
+    # ---- long-term frames: full-frame candidates, bounds mask only
+    # (the reference applies the radius mask to short-term frames only,
+    # code/utils/test_utils.py:162)
+    flat = jax.lax.broadcasted_iota(jnp.int32, (1, HWLp), 1)
+    lrow = flat // Wh
+    lcol = flat % Wh
+    lmask = jnp.where((lrow >= r) & (lrow < r + H)
+                      & (lcol >= r) & (lcol < r + W)
+                      & (flat < Hh * Wh), 0.0, _NEG).astype(jnp.float32)
+    for l in range(n_long):
+        a = jax.lax.dot_general(
+            q, klong_ref[l], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (TQ2, HWLp)
+        cand_ref[:, l * HWLp:(l + 1) * HWLp] = a * inv_t + lmask
+        lab_ref[l * HWLp:(l + 1) * HWLp, :] = llong_ref[l]
+
+    # ---- short-term frames: halo windows, bounds + disk mask
+    # query cell (qr, qc) sits at padded coords (ti*TQ + r + qr, ...); window
+    # cell (wr, wc) at (ti*TQ + wr, ...). dy = wr - r - qr.
+    qr = jax.lax.broadcasted_iota(jnp.int32, (TQ, TQ, WIN, WIN), 0)
+    qc = jax.lax.broadcasted_iota(jnp.int32, (TQ, TQ, WIN, WIN), 1)
+    wr = jax.lax.broadcasted_iota(jnp.int32, (TQ, TQ, WIN, WIN), 2)
+    wc = jax.lax.broadcasted_iota(jnp.int32, (TQ, TQ, WIN, WIN), 3)
+    dy = wr - r - qr
+    dx = wc - r - qc
+    krow = ti * TQ + wr                                   # padded coords
+    kcol = tj * TQ + wc
+    ok = ((dy * dy + dx * dx).astype(jnp.float32) < radius * radius) \
+        & (krow >= r) & (krow < r + H) & (kcol >= r) & (kcol < r + W)
+    smask = jnp.where(ok, 0.0, _NEG).astype(jnp.float32) \
+        .reshape(TQ2, WIN2)
+
+    base = n_long * HWLp
+
+    def start_dma(l, slot):
+        fr = idx_ref[n_long + l]
+        kd = pltpu.make_async_copy(
+            feats_ref.at[fr, pl.ds(ti * TQ, WIN), pl.ds(tj * TQ, WIN), :],
+            kwin_ref.at[slot], ksem.at[slot])
+        ld = pltpu.make_async_copy(
+            lbls_ref.at[fr, pl.ds(ti * TQ, WIN), pl.ds(tj * TQ, WIN), :],
+            lwin_ref.at[slot], lsem.at[slot])
+        kd.start()
+        ld.start()
+        return kd, ld
+
+    start_dma(0, 0)
+    for l in range(n_short):
+        slot = l % 2
+        if l + 1 < n_short:
+            start_dma(l + 1, (l + 1) % 2)
+        # wait on this slot's DMAs (reconstructed copy descriptors wait on
+        # the same semaphores)
+        pltpu.make_async_copy(
+            feats_ref.at[idx_ref[n_long + l],
+                         pl.ds(ti * TQ, WIN), pl.ds(tj * TQ, WIN), :],
+            kwin_ref.at[slot], ksem.at[slot]).wait()
+        pltpu.make_async_copy(
+            lbls_ref.at[idx_ref[n_long + l],
+                        pl.ds(ti * TQ, WIN), pl.ds(tj * TQ, WIN), :],
+            lwin_ref.at[slot], lsem.at[slot]).wait()
+        kw = kwin_ref[slot].reshape(WIN2, C)
+        a = jax.lax.dot_general(
+            q, kw, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (TQ2, WIN2)
+        seg = base + l * WIN2
+        cand_ref[:, seg:seg + WIN2] = a * inv_t + smask
+        lab_ref[seg:seg + WIN2, :] = lwin_ref[slot].reshape(WIN2, nl)
+
+    # fill any alignment tail: _NEG candidates can never win the max, and
+    # the label rows must be defined (0 * uninitialized = NaN otherwise)
+    if CW > base + n_short * WIN2:
+        tail = CW - base - n_short * WIN2
+        cand_ref[:, base + n_short * WIN2:] = jnp.full(
+            (TQ2, tail), _NEG, jnp.float32)
+        lab_ref[base + n_short * WIN2:, :] = jnp.zeros((tail, nl),
+                                                       jnp.float32)
+
+    # ---- destructive k-pass top-k + unnormalized-softmax sparse weights
+    u_ref[...] = jnp.zeros((TQ2, CW), jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (TQ2, CW), 1)
+    vmax = None
+    z = jnp.zeros((TQ2, 1), jnp.float32)
+    for j in range(topk):
+        c = cand_ref[...]
+        m = jnp.max(c, axis=1, keepdims=True)             # (TQ2, 1)
+        hit = c >= m                                      # >=: exact max hit
+        first = jnp.min(jnp.where(hit, col, CW), axis=1,
+                        keepdims=True)                    # first occurrence
+        oh = col == first                                 # exact one-hot
+        if j == 0:
+            vmax = m
+        e = jnp.exp(m - vmax)                             # (TQ2, 1)
+        u_ref[...] += jnp.where(oh, e, 0.0)
+        z += e
+        cand_ref[...] = jnp.where(oh, _NEG, c)
+
+    pred = jax.lax.dot_general(
+        u_ref[...], lab_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (TQ2, nl)
+    o_ref[...] = pred / z
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_long", "topk", "temperature", "radius", "H", "W",
+                     "interpret"))
+def sparse_topk_propagate(query, feats_pad, lbl_pad, klong, llong, idx_row,
+                          *, n_long, topk, temperature, radius, H, W,
+                          interpret=False):
+    """One target frame's label predictions, fused in VMEM.
+
+    Args:
+      query: (C, HW) target-frame features (L2-normalized).
+      feats_pad: (N, H+2r, W+2r, C) zero-padded per-frame features.
+      lbl_pad: (N, H+2r, W+2r, nl) zero-padded label buffer (the scan carry).
+      klong: (n_long, HWLp, C) long-term keys, rows = padded (Hh*Wh) raster
+        of the long frames (zero rows beyond Hh*Wh), HWLp 128-aligned.
+      llong: (n_long, HWLp, nl) the matching label rows.
+      idx_row: (n_long + n_short,) int32 context frame indices (the
+        short-term tail indexes feats_pad / lbl_pad).
+    Returns:
+      (HW, nl) predicted soft labels, raster order.
+    """
+    C, HW = query.shape
+    assert HW == H * W
+    N, Hh, Wh, _ = feats_pad.shape
+    r = int(np.floor(radius))
+    assert Hh == _align(H, TQ) + 2 * r and Wh == _align(W, TQ) + 2 * r, \
+        "feats_pad must come from pad_for_sparse"
+    WIN = TQ + 2 * r
+    nl = lbl_pad.shape[-1]
+    n_short = int(idx_row.shape[0]) - n_long
+    nth, ntw = -(-H // TQ), -(-W // TQ)
+    Hp, Wp = nth * TQ, ntw * TQ
+    R = nth * ntw * TQ * TQ
+    HWLp = klong.shape[1]
+    CW = _align(n_long * HWLp + n_short * WIN * WIN, 128)
+
+    # query -> (Hp, Wp, C), zero-padded
+    qg = jnp.moveaxis(query.reshape(C, H, W), 0, -1)
+    qg = jnp.pad(qg, ((0, Hp - H), (0, Wp - W), (0, 0)))
+
+    kernel = functools.partial(
+        _kernel, H=H, W=W, Hh=Hh, Wh=Wh, r=r, n_long=n_long,
+        n_short=n_short, topk=topk, temperature=float(temperature),
+        radius=float(radius), ntw=ntw)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nth * ntw,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # idx_row
+            pl.BlockSpec((TQ, TQ, C), lambda i: (i // ntw, i % ntw, 0),
+                         memory_space=pltpu.VMEM),                 # query
+            pl.BlockSpec((n_long, HWLp, C), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),                 # klong
+            pl.BlockSpec((n_long, HWLp, nl), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),                 # llong
+            pl.BlockSpec(memory_space=pl.ANY),                  # feats
+            pl.BlockSpec(memory_space=pl.ANY),                  # labels
+        ],
+        out_specs=pl.BlockSpec((TQ * TQ, nl), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, nl), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((TQ * TQ, CW), jnp.float32),                # cand
+            pltpu.VMEM((TQ * TQ, CW), jnp.float32),                # U
+            pltpu.VMEM((CW, nl), jnp.float32),                     # labels
+            pltpu.VMEM((2, WIN, WIN, C), jnp.float32),             # key win
+            pltpu.VMEM((2, WIN, WIN, nl), jnp.float32),            # lbl win
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(idx_row, jnp.int32), qg, klong, llong, feats_pad, lbl_pad)
+
+    # tiled row order -> raster query order
+    hq, wq = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    perm = (((hq // TQ) * ntw + wq // TQ) * (TQ * TQ)
+            + (hq % TQ) * TQ + wq % TQ).reshape(-1)
+    return out[jnp.asarray(perm)]
+
+
+def pad_for_sparse(feats: jax.Array, radius: float, H: int, W: int
+                   ) -> jax.Array:
+    """(N, C, HW) features -> zero-padded key layout.
+
+    Rows/cols span ``r`` halo + the TQ-aligned query grid + ``r`` halo, so
+    the window of the LAST (possibly partial) tile row/column is still an
+    in-bounds static slice: (N, r + ceil(H/TQ)*TQ + r, same for W, C).
+    """
+    r = int(np.floor(radius))
+    N, C, HW = feats.shape
+    Hp, Wp = _align(H, TQ), _align(W, TQ)
+    x = jnp.moveaxis(feats.reshape(N, C, H, W), 1, -1)
+    return jnp.pad(x, ((0, 0), (r, r + Hp - H), (r, r + Wp - W), (0, 0)))
+
+
+def long_rows_for_sparse(feats_pad: jax.Array, lbl_pad: jax.Array,
+                         long_idx) -> tuple[jax.Array, jax.Array]:
+    """Long-term key/label rows in the kernel's (HWLp, ...) layout."""
+    N, Hh, Wh, C = feats_pad.shape
+    nl = lbl_pad.shape[-1]
+    HWLp = _align(Hh * Wh, 128)
+    k = feats_pad[jnp.asarray(long_idx)].reshape(len(long_idx), Hh * Wh, C)
+    l = lbl_pad[jnp.asarray(long_idx)].reshape(len(long_idx), Hh * Wh, nl)
+    pad = HWLp - Hh * Wh
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
+        l = jnp.pad(l, ((0, 0), (0, pad), (0, 0)))
+    return k, l

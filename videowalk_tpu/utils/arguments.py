@@ -69,13 +69,14 @@ def test_args(argv=None):
                         help="local .pth/.pth.tar for pretrained encoder "
                              "model types")
 
-    # TPU extension: propagation backend — 'auto' picks 'tiled' on TPU (one
-    # top_k per target over static radius windows, the measured fast path;
-    # eval/propagation.py topk_affinity_tiled) and the XLA blocked path
-    # elsewhere. 'fused'/'windowed' are the retained alternatives.
+    # TPU extension: propagation backend — 'auto' picks the block-sparse
+    # Pallas kernel on TPU (ops/prop_sparse_kernel.py: windowed candidates,
+    # in-VMEM streaming top-k, labels folded into a sparse matmul) and the
+    # XLA blocked path elsewhere; 'tiled'/'windowed' are the XLA
+    # alternatives (tiled = round-2 fast path).
     parser.add_argument("--prop-backend", default="auto", type=str,
                         choices=["auto", "xla", "tiled", "windowed",
-                                 "fused", "fused_interpret"])
+                                 "sparse", "sparse_interpret"])
 
     args = parser.parse_args(argv)
     args.device = "tpu"

@@ -1,0 +1,113 @@
+"""Pallas reflect-conv kernel vs reflect-pad+VALID oracle (interpret mode on
+the CPU test platform; the same kernel compiles on TPU — used by the encoder
+when VIDEOWALK_RCONV permits)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from videowalk_tpu.ops.rconv_kernel import reflect_conv3x3, rconv_supported
+
+
+def _oracle(x, w):
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    return jax.lax.conv_general_dilated(
+        xp, w, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _rand(shape, seed):
+    return jnp.asarray(
+        np.random.RandomState(seed).randn(*shape).astype(np.float32))
+
+
+@pytest.mark.parametrize("N,H,W,cin,cout", [
+    (3, 8, 8, 16, 32),     # layer3/4-like (small channels for test speed)
+    (2, 16, 16, 8, 8),     # layer1-like
+    (9, 8, 8, 4, 16),      # batch vs small channels
+    (17, 8, 8, 8, 8),      # batch not divisible by the tile
+])
+def test_forward_matches_oracle(N, H, W, cin, cout):
+    x = _rand((N, H, W, cin), 0)
+    w = _rand((3, 3, cin, cout), 1) * 0.1
+    y = reflect_conv3x3(x, w)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(_oracle(x, w)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gradients_match_oracle():
+    N, H, W, cin, cout = 4, 8, 8, 8, 16
+    x = _rand((N, H, W, cin), 2)
+    w = _rand((3, 3, cin, cout), 3) * 0.1
+    g = _rand((N, H, W, cout), 4)
+
+    def loss_k(x, w):
+        return jnp.sum(reflect_conv3x3(x, w) * g)
+
+    def loss_o(x, w):
+        return jnp.sum(_oracle(x, w) * g)
+
+    dxk, dwk = jax.grad(loss_k, argnums=(0, 1))(x, w)
+    dxo, dwo = jax.grad(loss_o, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(dxk), np.asarray(dxo),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dwk), np.asarray(dwo),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_gradients_match_oracle_16px():
+    """The layer1 16x16 shape: ring-fold indices differ from 8x8."""
+    N, H, W, cin, cout = 2, 16, 16, 4, 8
+    x = _rand((N, H, W, cin), 5)
+    w = _rand((3, 3, cin, cout), 6) * 0.1
+    g = _rand((N, H, W, cout), 7)
+    dxk, dwk = jax.grad(
+        lambda x, w: jnp.sum(reflect_conv3x3(x, w) * g), (0, 1))(x, w)
+    dxo, dwo = jax.grad(
+        lambda x, w: jnp.sum(_oracle(x, w) * g), (0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(dxk), np.asarray(dxo),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dwk), np.asarray(dwo),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_encoder_integration_matches_fallback(monkeypatch):
+    """Full 'scratch' (reflect) encoder: VIDEOWALK_RCONV=on (kernel path,
+    interpret mode here) vs off (materialized-pad fallback) — same outputs
+    and parameter gradients."""
+    from videowalk_tpu.models.encoder import make_encoder
+
+    spec = make_encoder("scratch", remove_layers=("layer3", "layer4"))
+    x = _rand((1, 1, 16, 16, 3), 11)
+    variables = spec.module.init(jax.random.PRNGKey(0), x, train=False)
+
+    def run(mode):
+        monkeypatch.setenv("VIDEOWALK_RCONV", mode)
+
+        def loss(v):
+            return jnp.sum(spec.module.apply(v, x, train=False) ** 2)
+
+        return loss(variables), jax.grad(
+            lambda v: loss(v))(variables)
+
+    y_on, g_on = run("on")
+    y_off, g_off = run("off")
+    np.testing.assert_allclose(float(y_on), float(y_off), rtol=1e-5)
+    # accumulation-order noise amplifies through the stacked layers; the
+    # strict per-op parity lives in the direct kernel tests above
+    for a, b in zip(jax.tree_util.tree_leaves(g_on),
+                    jax.tree_util.tree_leaves(g_off)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_supported_gate():
+    assert rconv_supported(8, 8, 3, 1, 1)
+    assert rconv_supported(16, 16, 3, 1, 1)
+    assert not rconv_supported(8, 8, 3, 2, 1)    # stride 2
+    assert not rconv_supported(8, 8, 7, 1, 3)    # stem
+    assert not rconv_supported(4, 4, 3, 1, 1)    # too small for the fold
+    assert not rconv_supported(64, 64, 3, 1, 1)  # VMEM-unfriendly, fallback

@@ -76,6 +76,12 @@ class PadConv(nn.Module):
             (self.kernel, self.kernel, x.shape[-1], self.features),
             jnp.float32)
         xc, wc = x.astype(self.dtype), w.astype(self.dtype)
+        if padding == "REFLECT_KERNEL":
+            # fused Pallas reflect conv (ops/rconv_kernel.py): reflect
+            # indexing in VMEM, no HBM pad copy, hand VJP
+            from videowalk_tpu.ops.rconv_kernel import reflect_conv3x3
+
+            return reflect_conv3x3(xc, wc)
         pads = ([(0, 0), (0, 0)] if padding == "VALID" else list(padding))
         if self.kernel > 1 and jax.default_backend() == "cpu":
             # XLA:CPU executes small-spatial / high-channel convs through a
@@ -151,6 +157,17 @@ def reflect_conv2d(x: jax.Array, conv, kernel: int, stride: int,
     if pad == 0:
         return conv(x, "VALID")
     B, H, W, C = x.shape
+    # Opt-in (VIDEOWALK_RCONV=on): the fused Pallas reflect conv is exact
+    # (tests/test_rconv_kernel.py) but measured SLOWER than the
+    # materialized-pad fallback on the flagship step (235 vs 130 ms,
+    # v5e 2026-08-17) — see ops/rconv_kernel.py docstring. Kept off until a
+    # variant beats the fallback.
+    rmode = os.environ.get("VIDEOWALK_RCONV", "off")
+    if rmode == "on":
+        from videowalk_tpu.ops.rconv_kernel import rconv_supported
+
+        if rconv_supported(H, W, kernel, stride, pad):
+            return conv(x, "REFLECT_KERNEL")
     if _fuse_mode() != "always" or pad + 1 > H or pad + 1 > W:
         return conv(reflect_pad_hw(x, pad, pad), "VALID")
 

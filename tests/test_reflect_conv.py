@@ -91,6 +91,58 @@ def test_gradients_match_oracle(kernel, stride, pad, H, W):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("H,W", [(8, 8), (16, 16), (7, 9), (2, 5), (2, 2)])
+def test_ring_dots_matches_oracle(H, W, monkeypatch):
+    """The dots formulation (zero-SAME conv + einsum ring corrections,
+    VIDEOWALK_REFLECT_FUSE=dots) is exact for every 3x3/s1/p1 shape,
+    including the H=2 reflect edge case — forward AND both gradients."""
+    from videowalk_tpu.ops.reflect_conv import PadConv
+
+    monkeypatch.setenv("VIDEOWALK_REFLECT_FUSE", "dots")
+    cin, cout = 3, 5
+    key = jax.random.PRNGKey(H * 31 + W)
+    kx, kc = jax.random.split(key)
+    x = jax.random.normal(kx, (2, H, W, cin), jnp.float32)
+    conv = PadConv(cout, 3, 1)
+    params = conv.init(jax.random.PRNGKey(2), x, "VALID")
+    w = params["params"]["kernel"]
+    cot = jax.random.normal(kc, (2, H, W, cout), jnp.float32)
+
+    def loss_dots(params, x):
+        y = reflect_conv2d(x, lambda x, p: conv.apply(params, x, p), 3, 1, 1)
+        return jnp.sum(y * cot), y
+
+    def loss_oracle(w, x):
+        return jnp.sum(_oracle(x, w, 1, 1) * cot), _oracle(x, w, 1, 1)
+
+    (gp, gx), (_, y) = (
+        jax.grad(lambda p, x: loss_dots(p, x)[0], argnums=(0, 1))(params, x),
+        loss_dots(params, x))
+    (gw_o, gx_o), (_, y_o) = (
+        jax.grad(lambda w, x: loss_oracle(w, x)[0], argnums=(0, 1))(w, x),
+        loss_oracle(w, x))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_o),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_o),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp["params"]["kernel"]),
+                               np.asarray(gw_o), rtol=1e-4, atol=1e-5)
+
+
+def test_ring_dots_falls_back_off_scope(monkeypatch):
+    """dots mode must leave non-3x3/s1/p1 geometries on the exact fallback."""
+    monkeypatch.setenv("VIDEOWALK_REFLECT_FUSE", "dots")
+    for kernel, stride, pad, H, W in [(7, 2, 3, 16, 16), (3, 2, 1, 20, 20)]:
+        key = jax.random.PRNGKey(kernel)
+        kx, kw = jax.random.split(key)
+        x = jax.random.normal(kx, (1, H, W, 3), jnp.float32)
+        w = jax.random.normal(kw, (kernel, kernel, 3, 4), jnp.float32)
+        got = reflect_conv2d(x, _valid_conv(w, stride), kernel, stride, pad)
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.asarray(_oracle(x, w, stride, pad)),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_resnet_reflect_unchanged_by_fusion():
     """End-to-end: the reflect encoder's outputs are identical whether the
     strips path or the fallback (pad + VALID) executes — proven by shrinking

@@ -82,7 +82,13 @@ class PadConv(nn.Module):
             from videowalk_tpu.ops.rconv_kernel import reflect_conv3x3
 
             return reflect_conv3x3(xc, wc)
+        if padding == "RING_DOTS":
+            y = self._plain_conv(xc, wc, [(1, 1), (1, 1)])
+            return _ring_dots_delta(xc, wc, y)
         pads = ([(0, 0), (0, 0)] if padding == "VALID" else list(padding))
+        return self._plain_conv(xc, wc, pads)
+
+    def _plain_conv(self, xc, wc, pads):
         if self.kernel > 1 and jax.default_backend() == "cpu":
             # XLA:CPU executes small-spatial / high-channel convs through a
             # pathological path — measured 1.6 s for ONE (196,2,2,256)->512
@@ -91,8 +97,8 @@ class PadConv(nn.Module):
             # to im2col whenever the output map is small. TPU never takes
             # this branch; numerics agree to matmul reassociation (~1e-6
             # relative, checked in tests/test_reflect_conv.py).
-            h_out = (x.shape[1] + sum(pads[0]) - self.kernel) // self.stride + 1
-            w_out = (x.shape[2] + sum(pads[1]) - self.kernel) // self.stride + 1
+            h_out = (xc.shape[1] + sum(pads[0]) - self.kernel) // self.stride + 1
+            w_out = (xc.shape[2] + sum(pads[1]) - self.kernel) // self.stride + 1
             if h_out * w_out <= 64:
                 pat = jax.lax.conv_general_dilated_patches(
                     xc, (self.kernel, self.kernel),
@@ -107,8 +113,71 @@ class PadConv(nn.Module):
             padding=pads, dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+def _ring_dots_delta(x: jax.Array, w: jax.Array, y: jax.Array) -> jax.Array:
+    """Add the reflect-ring correction to a zero-SAME 3x3/s1 conv output —
+    as two batched DOTS, not strip convs.
+
+    Same exact decomposition as the strip path (module docstring):
+    conv_reflect(x) = conv_same_zero(x) + conv(ring), where the ring holds
+    the reflected halo. The round-2 strip formulation computed the
+    correction with extra conv ops and measured NEUTRAL on v5e — each conv
+    lowers to a custom call with ~110 us fixed cost, re-spending exactly
+    what the aligned main conv saves. Here the four 1-wide ring bands become
+    1-D convs along the edges, im2col'd in-registers (two shifted slices +
+    channel concat) and contracted as one (2, B*L, 3*Cin) @ (2, 3*Cin, Cout)
+    einsum per orientation — native HLO dots that XLA fuses with their
+    slice/pad producers, no custom-call glue.
+
+    Measured (v5e flagship step, 2026-08-17, one process): dots 145.1 ms vs
+    materialized-pad fallback 129.8 ms vs zeros ceiling ~93 ms — the dots
+    glue costs MORE than the pad it removes, the second exact interior-conv
+    rewrite (after round 2's strip convs) that fails to recover the
+    reflect-vs-zeros gap. Kept as an exact, tested alternative
+    (VIDEOWALK_REFLECT_FUSE=dots); the gap evidently does not live in the
+    interior-conv padding path (see STATUS round 3 decomposition).
+
+    Corner accounting (each padded corner must be counted ONCE): the
+    top/bottom edge strips use REFLECT ends — padrow[-1] = x[1, 1] is
+    exactly the (-1, -1) reflect-corner value — while the left/right strips
+    use ZERO ends, so corner taps live only in the horizontal strips.
+
+    Scope: kernel 3, stride 1, pad 1, H >= 2, W >= 2 (reflect needs
+    H, W >= 2; all 15 interior convs of the modified ResNet qualify).
+    """
+    B, H, W, cin = x.shape
+    cout = w.shape[-1]
+    f32 = jnp.float32
+
+    # horizontal edges (output rows 0 and H-1): pad rows -1/H mirror rows
+    # 1/H-2; taps w[0] (top) and w[2] (bottom), reflect-extended ends.
+    hs = jnp.stack([x[:, 1], x[:, H - 2]])                  # (2, B, W, Cin)
+    left_n = jnp.concatenate([hs[:, :, 1:2], hs[:, :, :-1]], axis=2)
+    right_n = jnp.concatenate([hs[:, :, 1:], hs[:, :, W - 2:W - 1]], axis=2)
+    hcol = jnp.concatenate([left_n, hs, right_n], axis=-1)  # (2,B,W,3Cin)
+    hw = jnp.stack([w[0], w[2]]).reshape(2, 3 * cin, cout)
+    hd = jnp.einsum("sbwc,scd->sbwd", hcol, hw,
+                    preferred_element_type=f32).astype(y.dtype)
+
+    # vertical edges (output cols 0 and W-1): pad cols -1/W mirror cols
+    # 1/W-2; taps w[:, 0] / w[:, 2], ZERO ends (corners already counted).
+    vs = jnp.stack([x[:, :, 1], x[:, :, W - 2]])            # (2, B, H, Cin)
+    zrow = jnp.zeros_like(vs[:, :, :1])
+    up_n = jnp.concatenate([zrow, vs[:, :, :-1]], axis=2)
+    down_n = jnp.concatenate([vs[:, :, 1:], zrow], axis=2)
+    vcol = jnp.concatenate([up_n, vs, down_n], axis=-1)
+    vw = jnp.stack([w[:, 0], w[:, 2]]).reshape(2, 3 * cin, cout)
+    vd = jnp.einsum("sbhc,scd->sbhd", vcol, vw,
+                    preferred_element_type=f32).astype(y.dtype)
+
+    y = y.at[:, 0].add(hd[0])
+    y = y.at[:, H - 1].add(hd[1])
+    y = y.at[:, :, 0].add(vd[0])
+    y = y.at[:, :, W - 1].add(vd[1])
+    return y
+
+
 def _fuse_mode() -> str:
-    """VIDEOWALK_REFLECT_FUSE: auto (default) | always | never.
+    """VIDEOWALK_REFLECT_FUSE: auto (default) | always | never | dots.
 
     Measured verdict on v5e (see module docstring): the strip rewrite lands
     within noise of the materialized-pad fallback at both the 64px patch
@@ -168,7 +237,11 @@ def reflect_conv2d(x: jax.Array, conv, kernel: int, stride: int,
 
         if rconv_supported(H, W, kernel, stride, pad):
             return conv(x, "REFLECT_KERNEL")
-    if _fuse_mode() != "always" or pad + 1 > H or pad + 1 > W:
+    fuse = _fuse_mode()
+    if fuse == "dots" and kernel == 3 and stride == 1 and pad == 1 \
+            and H >= 2 and W >= 2:
+        return conv(x, "RING_DOTS")
+    if fuse != "always" or pad + 1 > H or pad + 1 > W:
         return conv(reflect_pad_hw(x, pad, pad), "VALID")
 
     h_out, r_t, r_b, h_top, h_bot = _band_counts(H, kernel, stride, pad)

@@ -99,18 +99,24 @@ def _kernel(idx_ref,            # SMEM (L,) int32 context frame indices
     # ---- short-term frames: halo windows, bounds + disk mask
     # query cell (qr, qc) sits at padded coords (ti*TQ + r + qr, ...); window
     # cell (wr, wc) at (ti*TQ + wr, ...). dy = wr - r - qr.
-    qr = jax.lax.broadcasted_iota(jnp.int32, (TQ, TQ, WIN, WIN), 0)
-    qc = jax.lax.broadcasted_iota(jnp.int32, (TQ, TQ, WIN, WIN), 1)
-    wr = jax.lax.broadcasted_iota(jnp.int32, (TQ, TQ, WIN, WIN), 2)
-    wc = jax.lax.broadcasted_iota(jnp.int32, (TQ, TQ, WIN, WIN), 3)
+    # Built DIRECTLY in the (TQ2, WIN2) candidate layout via 2-D iotas +
+    # div/rem: Mosaic rejects the 4-D (TQ,TQ,WIN,WIN)->(TQ2,WIN2) vector
+    # reshape ("unsupported shape cast" — both tiled dims change), while
+    # lane-preserving leading-dim collapses like (TQ,TQ,C)->(TQ2,C) lower
+    # fine.
+    p = jax.lax.broadcasted_iota(jnp.int32, (TQ2, WIN2), 0)
+    s = jax.lax.broadcasted_iota(jnp.int32, (TQ2, WIN2), 1)
+    qr = p // TQ
+    qc = p - qr * TQ
+    wr = s // WIN
+    wc = s - wr * WIN
     dy = wr - r - qr
     dx = wc - r - qc
     krow = ti * TQ + wr                                   # padded coords
     kcol = tj * TQ + wc
     ok = ((dy * dy + dx * dx).astype(jnp.float32) < radius * radius) \
         & (krow >= r) & (krow < r + H) & (kcol >= r) & (kcol < r + W)
-    smask = jnp.where(ok, 0.0, _NEG).astype(jnp.float32) \
-        .reshape(TQ2, WIN2)
+    smask = jnp.where(ok, 0.0, _NEG).astype(jnp.float32)
 
     base = n_long * HWLp
 

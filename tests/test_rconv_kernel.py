@@ -80,8 +80,10 @@ def test_encoder_integration_matches_fallback(monkeypatch):
     and parameter gradients."""
     from videowalk_tpu.models.encoder import make_encoder
 
+    # 32px input -> 8x8 maps at layer1/2: the kernel path actually runs
+    # (rconv_supported needs H, W >= 8 after the stem + maxpool)
     spec = make_encoder("scratch", remove_layers=("layer3", "layer4"))
-    x = _rand((1, 1, 16, 16, 3), 11)
+    x = _rand((1, 1, 32, 32, 3), 11)
     variables = spec.module.init(jax.random.PRNGKey(0), x, train=False)
 
     def run(mode):

@@ -1,50 +1,51 @@
 """Pallas TPU kernel: 3x3 stride-1 reflect-padded convolution (+ hand VJP).
 
-Why this exists (measured on v5e, see STATUS.md round-2 item 6): XLA:TPU runs
-a conv FAST only when its padding goes through the conv op's own padding arg.
-Reflect padding can't be expressed there, so the reference's 'scratch'
-encoder (reflect on every spatial conv, /root/reference/code/resnet.py:30-36)
-paid a materialized pad copy + off-tile VALID-conv shapes on every one of its
-15 interior 3x3 convs, fwd and bwd — the whole measured reflect-vs-zeros gap
-(130 vs ~95 ms on the flagship bench step). The round-2 zero-SAME +
-boundary-strip rewrite was exact but neutral: 4 extra strip convs per layer
-re-spent the savings on per-op glue.
+Why this exists (measured on v5e, STATUS round 3): the reference's 'scratch'
+encoder reflect-pads every spatial conv (/root/reference/code/resnet.py:30-36).
+XLA:TPU runs zero-SAME convs at ~98% MFU (the L4 conv: 9.8 ms fwd+dW for
+1.89 TFLOP), but reflect padding can't go through the conv op's padding arg,
+and EVERY exact XLA-level rewrite measured loses: materialized pad + VALID
+conv +2.0 ms/conv at L4 (misaligned 10x10 shapes + a 200 MB-scale HBM pad
+round-trip), strip-conv corrections neutral (round 2), einsum ring
+corrections WORSE (l4 16.8 vs 11.8 ms — round 3 "dots"). The per-stage
+decomposition pins the whole 49 ms/step encoder gap on this
+materialization/fusion overhead, so the only winning shape is ONE fused op
+per conv with XLA-level matmul efficiency inside.
 
-Here the reflect indexing happens where it is free: the input tile is DMA'd
-to VMEM once, the reflected (H+2, W+2) frame is built by two in-VMEM concats,
-and the conv runs as 9 shifted (nb*H*W, Cin) @ (Cin, Cout) MXU matmuls
-accumulated into an f32 VMEM scratch — no HBM pad copy, no off-tile conv
-shapes, one read and one write of the activation per conv. The backward pass
-is two more kernels of the same shape family:
+This is the v2 "flat-roll" formulation (v1 — reflected frame in VMEM + 9
+slice/reshape taps — measured 235 vs 130 ms/step: each tap's
+(nb,H,W,C)->(nb*H*W,C) collapse is a sublane relayout, 9 per conv per block;
+see git history). Here the block is collapsed ONCE:
 
-- dx: full-correlation of the zero-embedded cotangent with the flipped
-  kernel -> gradient on the PADDED frame, whose ring is folded back onto its
-  reflected sources in-VMEM (the scatter-free reflect-pad VJP, fused; the
-  fold is assembled row/column-wise to keep VMEM peak at one f32 map).
-- dW: per-tap (Cin, M) @ (M, Cout) accumulated across batch tiles through a
-  revisited f32 output block, tiled over Cout when the 9xCinxCout f32
-  accumulator alone would crowd VMEM.
+- the (g, H, W, C) input block becomes x2 = (g*H*W, C) — one lane-preserving
+  reshape — and every tap (dy, dx) is a cheap static SUBLANE ROLL of x2 by
+  (dy-1)*W + (dx-1) rows: no further relayouts, C stays on lanes, the MXU
+  sees 9 aligned (M, C) @ (C, Cout) matmuls accumulated into one f32
+  scratch.
+- rolls wrap across row/image boundaries, but the wrapped rows are EXACTLY
+  the rows whose receptive field crosses the reflect boundary; they are
+  overwritten by masked selects that re-roll to the reflected source
+  (pad row -1 mirrors row 1, col W mirrors col W-2, corners mirror
+  diagonally — torch 'reflect' semantics). H, W are powers of two at every
+  encoder shape (16, 8), so the row/col masks are iota bit-ops
+  (w = p & (W-1), h = (p >> log2 W) & (H-1)) — no integer division.
 
-VMEM discipline (the first cut OOM'd the 16 MB scoped limit): batch tiles
-are sized by a closed-form estimate that counts the reflected frame, one tap
-slice + its 2-D relayout, the f32 accumulator, and pallas's double-buffered
-in/out blocks, against an 11 MB budget after the resident weight buffer.
+The backward pass is two kernels of the same family:
+- dx: per tap, c_t = g @ W[t]^T, then dx += roll(mask_k * c_t, +o_k) for
+  each (mask, offset) leg of the forward select chain (the exact transpose
+  of a masked-roll select is a roll of the masked cotangent).
+- dW: rebuild the fixed tap view (same rolls/selects) and accumulate
+  (C, M) @ (M, Cout) per tap across batch blocks through a revisited f32
+  output block, tiled over Cout when the 9*C*Cout f32 accumulator would
+  crowd VMEM.
 
-Scope: kernel 3x3, stride 1, pad 1 (reflect), 6 <= H, W <= 32 — i.e. every
+Scope: kernel 3, stride 1, pad 1, H and W powers of two in [8, 32] — every
 interior conv of the modified ResNet (layer1 16x16 through layer3/4 8x8 at
 the bench regime). The stem (7x7/2) and the one stride-2 conv keep the
 materialized-pad fallback; 1x1 convs have no padding at all.
 
 Exactness is pinned by tests/test_rconv_kernel.py against reflect-pad+VALID:
 forward, input gradient, and kernel gradient.
-
-Measured v5e flagship step (2026-08-17, fetch-synced difference quotient):
-fallback 129.95 ms, THIS KERNEL 235.17 ms, zeros ceiling 92.97 ms — the
-first cut LOSES 1.8x despite being exact. Hypotheses (see STATUS round 3):
-the unrolled 9-tap loop keeps all tap slices + relayouts live (forcing small
-batch tiles and small-M matmuls), and the dx ring-fold's many narrow concats
-vectorize poorly. Off by default (VIDEOWALK_RCONV=on to enable) until a
-variant measures faster.
 """
 
 from __future__ import annotations
@@ -63,47 +64,21 @@ def _should_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _sublanes(w: int, itemsize: int) -> int:
-    """Second-to-last dim rounds up to the dtype's min tile (8 f32, 16 bf16)."""
-    m = 32 // max(itemsize, 1)
-    return -(-w // m) * m
-
-
-def _tile_for(H: int, W: int, cin: int, cout: int, itemsize: int,
-              fixed_bytes: int) -> int:
-    """Batch-tile size from a closed-form VMEM-peak estimate (see module
-    docstring); power of two in [4, 256].
-
-    Measured calibration (v5e Mosaic stack peaks): the unrolled 9-tap loop
-    keeps ALL tap slices and their 2-D relayouts live at once — at
-    (16,16,64,64) bf16 nb=64 the compiler reported a 74.91 MB peak where a
-    one-live-tap estimate predicted ~22 MB. Counting 9x live taps predicts
-    55 MB for that point (remaining gap = partially-live concats), so the
-    budget below keeps ~1.7x headroom under the raised 64 MB ceiling.
-    """
-    Wp = _sublanes(W, itemsize)
-    Wp2 = _sublanes(W + 2, itemsize)
-    per = ((H + 2) * Wp2 * cin * itemsize      # reflected frame
-           + 9 * H * Wp * cin * itemsize       # tap slices (all live)
-           + 9 * H * W * cin * itemsize        # their 2-D relayouts
-           + H * W * cout * 4                  # f32 accumulator
-           + 2 * H * Wp * cin * itemsize       # double-buffered in block
-           + 2 * H * Wp * cout * itemsize)     # double-buffered out block
-    nb = max(4, min(256, ((36 << 20) - fixed_bytes) // max(per, 1)))
-    return 1 << (nb.bit_length() - 1)
-
-
 # Raise the scoped-VMEM ceiling from its 16 MB default (v5e VMEM is far
-# larger; standard practice for matmul-heavy kernels) and size batch tiles
-# against a 36 MB budget with the 9x tap liveness counted (see _tile_for).
+# larger; standard practice for matmul-heavy kernels).
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
-def _reflect_frame(x):
-    """(nb, H, W, C) -> (nb, H+2, W+2, C): reflect-pad by 1 (torch 'reflect'
-    semantics: pad row -1 mirrors row 1), built with in-VMEM concats."""
-    rows = jnp.concatenate([x[:, 1:2], x, x[:, -2:-1]], axis=1)
-    return jnp.concatenate([rows[:, :, 1:2], rows, rows[:, :, -2:-1]], axis=2)
+def _g_for(HW: int, cin: int, cout: int, itemsize: int, n_live: int) -> int:
+    """Images per block from a VMEM-peak estimate: x2 + ~n_live roll/select
+    temporaries + the f32 accumulator + pallas's double-buffered in/out
+    blocks, against a 30 MB budget. Power of two in [1, 128]."""
+    per = (HW * cin * itemsize * (1 + n_live)     # x2 + live temps
+           + HW * cout * 4                        # f32 accumulator
+           + 2 * HW * cin * itemsize              # double-buffered in
+           + 2 * HW * cout * itemsize)            # double-buffered out
+    g = max(1, min(128, (30 << 20) // max(per, 1)))
+    return 1 << (g.bit_length() - 1)
 
 
 def _pad_batch(x, pad_n):
@@ -113,42 +88,128 @@ def _pad_batch(x, pad_n):
         [x, jnp.zeros((pad_n,) + x.shape[1:], x.dtype)])
 
 
+def _shift(x2, o):
+    """rows of x2 shifted so out[p] = x2[p + o] (cyclic; callers fix the
+    wrapped rows). Static o -> lowers to two sublane slices + concat."""
+    if o == 0:
+        return x2
+    return jnp.roll(x2, -o, axis=0)
+
+
+def _edge_masks(M, H, W):
+    """(M, 1) bool masks for first/last row/col of each image in the flat
+    (g*H*W, C) layout. H, W powers of two -> pure bit ops on an iota."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
+    w = p & (W - 1)
+    h = (p >> (W.bit_length() - 1)) & (H - 1)
+    return (h == 0), (h == H - 1), (w == 0), (w == W - 1)
+
+
+def _fixed_tap(x2, dy, dx, H, W, masks):
+    """x2 rows rearranged to tap (dy, dx)'s reflect sources (forward view)."""
+    at_h0, at_h1, at_w0, at_w1 = masks
+    xt = _shift(x2, (dy - 1) * W + (dx - 1))
+    if dx == 0:
+        xt = jnp.where(at_w0, _shift(x2, (dy - 1) * W + 1), xt)
+    elif dx == 2:
+        xt = jnp.where(at_w1, _shift(x2, (dy - 1) * W - 1), xt)
+    if dy == 0:
+        alt = _shift(x2, W + (dx - 1))
+        if dx == 0:
+            alt = jnp.where(at_w0, _shift(x2, W + 1), alt)
+        elif dx == 2:
+            alt = jnp.where(at_w1, _shift(x2, W - 1), alt)
+        xt = jnp.where(at_h0, alt, xt)
+    elif dy == 2:
+        alt = _shift(x2, -W + (dx - 1))
+        if dx == 0:
+            alt = jnp.where(at_w0, _shift(x2, -W + 1), alt)
+        elif dx == 2:
+            alt = jnp.where(at_w1, _shift(x2, -W - 1), alt)
+        xt = jnp.where(at_h1, alt, xt)
+    return xt
+
+
+def _leg_masks(dy, dx, masks):
+    """Disjoint (mask, offset) legs of _fixed_tap's select chain, for the
+    transposed (dx) kernel. Must partition rows exactly as the forward
+    where-chain resolves them (row fix wins over col fix)."""
+    at_h0, at_h1, at_w0, at_w1 = masks
+    at_h = at_h0 if dy == 0 else (at_h1 if dy == 2 else None)
+    at_c = at_w0 if dx == 0 else (at_w1 if dx == 2 else None)
+    legs = []
+    if at_h is not None:
+        if at_c is None:
+            legs.append(("h", at_h))
+        else:
+            legs.append(("h", at_h & ~at_c))
+            legs.append(("hw", at_h & at_c))
+    if at_c is not None:
+        base = at_c if at_h is None else (at_c & ~at_h)
+        legs.append(("c", base))
+    inv = None
+    for _, m in legs:
+        inv = m if inv is None else (inv | m)
+    legs.append(("int", ~inv if inv is not None else None))
+    return legs
+
+
+def _leg_offsets(dy, dx, W):
+    """Offsets matching _leg_masks order: row legs, col leg, interior."""
+    out = []
+    row_w = {0: W, 2: -W}.get(dy)
+    col_o = ((dy - 1) * W + 1) if dx == 0 else (
+        ((dy - 1) * W - 1) if dx == 2 else None)
+    if row_w is not None:
+        if col_o is None:
+            out.append(row_w + (dx - 1))
+        else:
+            out.append(row_w + (dx - 1))
+            out.append(row_w + (1 if dx == 0 else -1))
+    if col_o is not None:
+        out.append(col_o)
+    out.append((dy - 1) * W + (dx - 1))
+    return out
+
+
 # ------------------------------------------------------------------ forward
 
 
-def _fwd_kernel(x_ref, w_ref, o_ref, acc_ref, *, H, W):
-    nb, cin = x_ref.shape[0], x_ref.shape[-1]
+def _fwd_kernel(x_ref, w_ref, o_ref, acc_ref, *, H, W, g):
+    cin = x_ref.shape[-1]
     cout = o_ref.shape[-1]
-    xp = _reflect_frame(x_ref[...])
+    M = g * H * W
+    x2 = x_ref[...].reshape(M, cin)
+    masks = _edge_masks(M, H, W)
     for t, (dy, dx) in enumerate(TAPS):
-        xt = xp[:, dy:dy + H, dx:dx + W, :].reshape(nb * H * W, cin)
+        xt = _fixed_tap(x2, dy, dx, H, W, masks)
         c = jnp.dot(xt, w_ref[t], preferred_element_type=jnp.float32)
         if t == 0:
             acc_ref[...] = c
         else:
             acc_ref[...] += c
-    o_ref[...] = acc_ref[...].reshape(nb, H, W, cout).astype(o_ref.dtype)
+    o_ref[...] = acc_ref[...].reshape(g, H, W, cout).astype(o_ref.dtype)
 
 
 def _fwd_call(x, w9, interpret):
     N, H, W, cin = x.shape
     cout = w9.shape[-1]
-    nb = _tile_for(H, W, cin, cout, x.dtype.itemsize, w9.size * w9.dtype.itemsize)
-    pad_n = (-N) % nb
+    g = _g_for(H * W, cin, cout, x.dtype.itemsize, n_live=4)
+    pad_n = (-N) % g
     x = _pad_batch(x, pad_n)
     y = pl.pallas_call(
-        functools.partial(_fwd_kernel, H=H, W=W),
-        grid=((N + pad_n) // nb,),
+        functools.partial(_fwd_kernel, H=H, W=W, g=g),
+        grid=((N + pad_n) // g,),
         in_specs=[
-            pl.BlockSpec((nb, H, W, cin), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((g, H, W, cin), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, cin, cout), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((nb, H, W, cout), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((g, H, W, cout), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N + pad_n, H, W, cout), x.dtype),
-        scratch_shapes=[pltpu.VMEM((nb * H * W, cout), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((g * H * W, cout), jnp.float32)],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(x, w9)
@@ -158,130 +219,100 @@ def _fwd_call(x, w9, interpret):
 # ----------------------------------------------------------------- backward
 
 
-def _dx_kernel(g_ref, wt_ref, o_ref, acc_ref, *, H, W):
-    """dx = fold_reflect(full_corr(g, flip(W))): one kernel, no HBM pads."""
-    g = g_ref[...]
-    nb, cout = g.shape[0], g.shape[-1]
+def _dx_kernel(g_ref, wt_ref, o_ref, acc_ref, *, H, W, g):
+    """dx = sum over taps of the select-chain transpose: for each leg
+    (mask, o) of the forward view, dx += roll(mask * (g @ W[t]^T), +o)."""
+    cout = g_ref.shape[-1]
     cin = o_ref.shape[-1]
-    z = functools.partial(jnp.zeros, dtype=g.dtype)
-    gp = jnp.concatenate([z((nb, 2, W, cout)), g, z((nb, 2, W, cout))],
-                         axis=1)
-    gp = jnp.concatenate([z((nb, H + 4, 2, cout)), gp,
-                          z((nb, H + 4, 2, cout))], axis=2)
-    Hp, Wp = H + 2, W + 2
-    for t, (ry, rx) in enumerate(TAPS):
-        gt = gp[:, ry:ry + Hp, rx:rx + Wp, :].reshape(nb * Hp * Wp, cout)
-        c = jnp.dot(gt, wt_ref[t], preferred_element_type=jnp.float32)
-        if t == 0:
-            acc_ref[...] = c
-        else:
-            acc_ref[...] += c
-    dxp = acc_ref[...].reshape(nb, Hp, Wp, cin)
-
-    # Fold the padded-frame ring back onto its reflected sources, assembled
-    # row/column-wise (peak = one extra f32 map, not 8 zero-embedded ones).
-    # Padded col 0 -> x col 1; padded col W+1 -> x col W-2 (all rows);
-    # padded row 0/H+1 -> x rows 1/H-2, with their corners landing on
-    # x cols 1/W-2 of those rows (the pad frame was built rows-then-cols).
-    core = dxp[:, 1:H + 1, 1:W + 1]
-    core = jnp.concatenate([
-        core[:, :, 0:1],
-        core[:, :, 1:2] + dxp[:, 1:H + 1, 0:1],
-        core[:, :, 2:W - 2],
-        core[:, :, W - 2:W - 1] + dxp[:, 1:H + 1, W + 1:W + 2],
-        core[:, :, W - 1:],
-    ], axis=2)
-
-    def ring_row(row):  # (nb, 1, W+2, cin) padded row -> (nb, 1, W, cin)
-        mid = row[:, :, 1:W + 1]
-        return jnp.concatenate([
-            mid[:, :, 0:1],
-            mid[:, :, 1:2] + row[:, :, 0:1],
-            mid[:, :, 2:W - 2],
-            mid[:, :, W - 2:W - 1] + row[:, :, W + 1:W + 2],
-            mid[:, :, W - 1:],
-        ], axis=2)
-
-    top = ring_row(dxp[:, 0:1])
-    bot = ring_row(dxp[:, H + 1:H + 2])
-    dx = jnp.concatenate([
-        core[:, 0:1],
-        core[:, 1:2] + top,
-        core[:, 2:H - 2],
-        core[:, H - 2:H - 1] + bot,
-        core[:, H - 1:],
-    ], axis=1)
-    o_ref[...] = dx.astype(o_ref.dtype)
+    M = g * H * W
+    g2 = g_ref[...].reshape(M, cout)
+    masks = _edge_masks(M, H, W)
+    first = True
+    for t, (dy, dx) in enumerate(TAPS):
+        c = jnp.dot(g2, wt_ref[t], preferred_element_type=jnp.float32)
+        legs_m = _leg_masks(dy, dx, masks)
+        legs_o = _leg_offsets(dy, dx, W)
+        assert len(legs_m) == len(legs_o)
+        for (_, m), o in zip(legs_m, legs_o):
+            term = c if m is None else jnp.where(m, c, 0.0)
+            # forward: xt[p] = x[p + o]  =>  transpose: dx[q] += term[q - o]
+            term = jnp.roll(term, o, axis=0) if o else term
+            if first:
+                acc_ref[...] = term
+                first = False
+            else:
+                acc_ref[...] += term
+    o_ref[...] = acc_ref[...].reshape(g, H, W, cin).astype(o_ref.dtype)
 
 
-def _dx_call(g, w9, cin, interpret):
-    N, H, W, cout = g.shape
-    # flipped + transposed taps: wt[(ry, rx)] = W[2-ry, 2-rx].T
-    wt = jnp.stack([w9[(2 - ry) * 3 + (2 - rx)].T for ry, rx in TAPS])
-    nb = _tile_for(H + 2, W + 2, cout, cin, g.dtype.itemsize,
-                   wt.size * wt.dtype.itemsize)
-    pad_n = (-N) % nb
-    g = _pad_batch(g, pad_n)
+def _dx_call(gy, w9, cin, interpret):
+    N, H, W, cout = gy.shape
+    # transposed taps: wt[t] = W[t].T (the roll transpose handles flips)
+    wt = jnp.stack([w9[t].T for t in range(9)])
+    g = _g_for(H * W, cout, cin, gy.dtype.itemsize, n_live=4)
+    pad_n = (-N) % g
+    gy = _pad_batch(gy, pad_n)
     dx = pl.pallas_call(
-        functools.partial(_dx_kernel, H=H, W=W),
-        grid=((N + pad_n) // nb,),
+        functools.partial(_dx_kernel, H=H, W=W, g=g),
+        grid=((N + pad_n) // g,),
         in_specs=[
-            pl.BlockSpec((nb, H, W, cout), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((g, H, W, cout), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, cout, cin), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((nb, H, W, cin), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((g, H, W, cin), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N + pad_n, H, W, cin), g.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((nb * (H + 2) * (W + 2), cin), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((N + pad_n, H, W, cin), gy.dtype),
+        scratch_shapes=[pltpu.VMEM((g * H * W, cin), jnp.float32)],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(g, wt)
+    )(gy, wt)
     return dx[:N]
 
 
-def _dw_kernel(x_ref, g_ref, dw_ref, *, H, W):
-    """dW[t] = sum over batch tiles of x_tap^T @ g; the f32 output block is
-    revisited across the inner (batch) grid dim and accumulated in place."""
+def _dw_kernel(x_ref, g_ref, dw_ref, *, H, W, g):
+    """dW[t] = sum over batch blocks of fixed_tap(x)^T @ g; the f32 output
+    block is revisited across the inner (batch) grid dim."""
     i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
-    nb, cin = x_ref.shape[0], x_ref.shape[-1]
+    cin = x_ref.shape[-1]
     cout = g_ref.shape[-1]
-    xp = _reflect_frame(x_ref[...])
-    gm = g_ref[...].reshape(nb * H * W, cout)
+    M = g * H * W
+    x2 = x_ref[...].reshape(M, cin)
+    gm = g_ref[...].reshape(M, cout)
+    masks = _edge_masks(M, H, W)
     for t, (dy, dx) in enumerate(TAPS):
-        xt = xp[:, dy:dy + H, dx:dx + W, :].reshape(nb * H * W, cin)
+        xt = _fixed_tap(x2, dy, dx, H, W, masks)
         dw_ref[t] += jax.lax.dot_general(
             xt, gm, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
 
-def _dw_call(x, g, interpret):
+def _dw_call(x, gy, interpret):
     N, H, W, cin = x.shape
-    cout = g.shape[-1]
+    cout = gy.shape[-1]
     # Cout tile: keep the resident f32 accumulator under ~5 MB. The batch
     # dim is the INNER grid dim so the accumulator block is revisited
     # consecutively; x is re-read once per cout tile (J is 1 or 2 here).
     ct = cout
     while 9 * cin * ct * 4 > (5 << 20):
         ct //= 2
-    nb = _tile_for(H, W, cin + cout, ct, x.dtype.itemsize, 9 * cin * ct * 4)
-    pad_n = (-N) % nb
+    g = _g_for(H * W, cin + cout, ct, x.dtype.itemsize, n_live=4)
+    pad_n = (-N) % g
     x = _pad_batch(x, pad_n)
-    g = _pad_batch(g, pad_n)
+    gy = _pad_batch(gy, pad_n)
     dw = pl.pallas_call(
-        functools.partial(_dw_kernel, H=H, W=W),
-        grid=(cout // ct, (N + pad_n) // nb),
+        functools.partial(_dw_kernel, H=H, W=W, g=g),
+        grid=(cout // ct, (N + pad_n) // g),
         in_specs=[
-            pl.BlockSpec((nb, H, W, cin), lambda j, i: (i, 0, 0, 0),
+            pl.BlockSpec((g, H, W, cin), lambda j, i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, H, W, ct), lambda j, i: (i, 0, 0, j),
+            pl.BlockSpec((g, H, W, ct), lambda j, i: (i, 0, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((9, cin, ct), lambda j, i: (0, 0, j),
@@ -289,7 +320,7 @@ def _dw_call(x, g, interpret):
         out_shape=jax.ShapeDtypeStruct((9, cin, cout), jnp.float32),
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(x, g)
+    )(x, gy)
     return dw
 
 
@@ -301,7 +332,7 @@ def reflect_conv3x3(x: jax.Array, w: jax.Array) -> jax.Array:
     """y = conv_valid(reflect_pad(x, 1), w), 3x3 stride-1, NHWC/HWIO.
 
     Args:
-      x: (N, H, W, Cin), 6 <= H, W (see rconv_supported).
+      x: (N, H, W, Cin), H and W powers of two (see rconv_supported).
       w: (3, 3, Cin, Cout) in x's compute dtype.
     Returns:
       (N, H, W, Cout) in x's dtype (f32 MXU accumulation inside).
@@ -328,7 +359,9 @@ reflect_conv3x3.defvjp(_vjp_fwd, _vjp_bwd)
 
 def rconv_supported(H: int, W: int, kernel: int, stride: int,
                     pad: int) -> bool:
-    """Shape gate: the kernel covers every interior conv of the modified
-    ResNet; stem/stride-2 keep the fallback (see module docstring)."""
-    return kernel == 3 and stride == 1 and pad == 1 and H >= 6 and W >= 6 \
-        and H <= 32 and W <= 32
+    """Shape gate: flat-roll masks need power-of-two H, W (bit-op
+    row/col extraction); covers every interior conv of the modified
+    ResNet. Stem/stride-2 keep the fallback (module docstring)."""
+    return (kernel == 3 and stride == 1 and pad == 1
+            and 8 <= H <= 32 and 8 <= W <= 32
+            and (H & (H - 1)) == 0 and (W & (W - 1)) == 0)

@@ -7,7 +7,13 @@ with multi-device coverage runnable without TPU hardware).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, don't setdefault: the dev image exports JAX_PLATFORMS=axon (the
+# tunneled TPU), and the CLI drivers re-assert the env var through the
+# config API (utils/platform.respect_jax_platforms_env) — with the inherited
+# value a CLI-main test would silently flip the whole pytest process onto
+# the TPU backend mid-suite. Subprocess tests inherit this too, which is
+# exactly what makes their CLI invocations run on CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (

@@ -457,10 +457,16 @@ def _propagate_labels_sparse(feats, labels0, key_indices, *, n_context,
     n_lbl = labels0.shape[-1]
     r = int(np.floor(radius))
     feats_pad = pad_for_sparse(feats.reshape(N, C, HW), radius, H, W)
-    # same halo + tile-grid padding as the keys (kernel window slices)
+    # same halo + tile-grid padding as the keys (kernel window slices).
+    # The channel (label) dim is padded to one full lane tile (128): Mosaic
+    # can only DMA HBM slices whose lane dim is 128-aligned, and n_lbl sits
+    # on lanes in the (N, Hh, Wh, nl) layout. Zero label channels are inert
+    # through the kernel's label mixing; they are sliced off at the end.
+    NLP = 128
     _, Hh, Wh, _ = feats_pad.shape
     lbl_pad = jnp.pad(labels0.reshape(N, H, W, n_lbl),
-                      ((0, 0), (r, Hh - H - r), (r, Wh - W - r), (0, 0)))
+                      ((0, 0), (r, Hh - H - r), (r, Wh - W - r),
+                       (0, NLP - n_lbl)))
 
     def step(lbl_pad, idx_row):
         t_global = idx_row[-1] + 1
@@ -472,19 +478,19 @@ def _propagate_labels_sparse(feats, labels0, key_indices, *, n_context,
         pred = sparse_topk_propagate(
             query, feats_pad, lbl_pad, klong, llong, idx_row,
             n_long=n_long, topk=topk, temperature=temperature,
-            radius=radius, H=H, W=W, interpret=interpret)   # (HW, n_lbl)
+            radius=radius, H=H, W=W, interpret=interpret)   # (HW, NLP)
         # Reference quirk (code/test.py:156-160): the FIRST target's
         # prediction is replaced by the ground-truth frame-0 labels.
-        gt0 = lbl_pad[0, r:r + H, r:r + W].reshape(HW, n_lbl)
+        gt0 = lbl_pad[0, r:r + H, r:r + W].reshape(HW, NLP)
         pred = jnp.where(t_global == n_context, gt0, pred)
         lbl_pad = jax.lax.dynamic_update_slice(
-            lbl_pad, pred.reshape(1, H, W, n_lbl)
+            lbl_pad, pred.reshape(1, H, W, NLP)
             .astype(lbl_pad.dtype),
             (t_global, jnp.int32(r), jnp.int32(r), jnp.int32(0)))
         return lbl_pad, pred
 
     _, preds = jax.lax.scan(step, lbl_pad, key_indices)
-    return preds.reshape(-1, H, W, n_lbl)
+    return preds.reshape(-1, H, W, NLP)[..., :n_lbl]
 
 
 def propagate_labels_bucketed(

@@ -69,11 +69,22 @@ def _should_interpret() -> bool:
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
-def _g_for(HW: int, cin: int, cout: int, itemsize: int, n_live: int) -> int:
+def _g_for(HW: int, cin: int, cout: int, itemsize: int, n_live: int,
+           temp_itemsize: int | None = None) -> int:
     """Images per block from a VMEM-peak estimate: x2 + ~n_live roll/select
     temporaries + the f32 accumulator + pallas's double-buffered in/out
-    blocks, against a 30 MB budget. Power of two in [1, 128]."""
-    per = (HW * cin * itemsize * (1 + n_live)     # x2 + live temps
+    blocks, against a 30 MB budget. Power of two in [1, 128].
+
+    Mosaic allocates kernel temporaries on a stack and does not free them
+    across the unrolled 9-tap loop, so n_live must reflect the FULL chain of
+    live roll/select products, not just one tap's: measured on v5e, the dx
+    kernel at g=64 (HW=256, C=64) peaked at 77.75 MB — ~19 live f32 (M, C)
+    buffers — against this estimate's original 30 MB. temp_itemsize defaults
+    to itemsize (fwd temps are input-dtype rolls); the backward kernels pass
+    4 because their temporaries are f32 matmul products."""
+    c = max(cin, cout)
+    t = itemsize if temp_itemsize is None else temp_itemsize
+    per = (HW * c * t * (1 + n_live)              # x2 + live temps
            + HW * cout * 4                        # f32 accumulator
            + 2 * HW * cin * itemsize              # double-buffered in
            + 2 * HW * cout * itemsize)            # double-buffered out
@@ -194,7 +205,7 @@ def _fwd_kernel(x_ref, w_ref, o_ref, acc_ref, *, H, W, g):
 def _fwd_call(x, w9, interpret):
     N, H, W, cin = x.shape
     cout = w9.shape[-1]
-    g = _g_for(H * W, cin, cout, x.dtype.itemsize, n_live=4)
+    g = _g_for(H * W, cin, cout, x.dtype.itemsize, n_live=9)
     pad_n = (-N) % g
     x = _pad_batch(x, pad_n)
     y = pl.pallas_call(
@@ -249,7 +260,8 @@ def _dx_call(gy, w9, cin, interpret):
     N, H, W, cout = gy.shape
     # transposed taps: wt[t] = W[t].T (the roll transpose handles flips)
     wt = jnp.stack([w9[t].T for t in range(9)])
-    g = _g_for(H * W, cout, cin, gy.dtype.itemsize, n_live=4)
+    g = _g_for(H * W, cout, cin, gy.dtype.itemsize, n_live=20,
+               temp_itemsize=4)
     pad_n = (-N) % g
     gy = _pad_batch(gy, pad_n)
     dx = pl.pallas_call(
@@ -302,7 +314,8 @@ def _dw_call(x, gy, interpret):
     ct = cout
     while 9 * cin * ct * 4 > (5 << 20):
         ct //= 2
-    g = _g_for(H * W, cin + cout, ct, x.dtype.itemsize, n_live=4)
+    g = _g_for(H * W, cin + cout, ct, x.dtype.itemsize, n_live=12,
+               temp_itemsize=4)
     pad_n = (-N) % g
     x = _pad_batch(x, pad_n)
     gy = _pad_batch(gy, pad_n)

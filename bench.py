@@ -117,17 +117,40 @@ def main():
     n_chips = max(1, len(jax.devices()))
     clips_per_sec_per_chip = BATCH / step_time / n_chips
 
-    # MFU: compiled-HLO FLOPs of one train step (XLA cost analysis; counts
-    # fwd+bwd+optimizer as compiled, i.e. "model FLOPs" of the program of
-    # record) against the chip's dense peak. The reference publishes no
-    # throughput figure (BASELINE.md), so MFU is the absolute anchor the
-    # clips/s progression is judged against (VERDICT r2 weak #1).
+    # MFU: ANALYTIC model FLOPs of one train step (conv fwd x3 for
+    # fwd+dx+dw — the standard MFU convention: useful model FLOPs, excluding
+    # remat recompute) against the chip's dense peak. The reference publishes
+    # no throughput figure (BASELINE.md), so MFU is the absolute anchor the
+    # clips/s progression is judged against (VERDICT r2 weak #1). XLA's
+    # cost_analysis is reported alongside when available, but it cannot be
+    # the MFU numerator: Pallas custom calls (the fused walk / reflect-conv
+    # kernels) hide their FLOPs from it, and remat inflates it.
+    def conv_fwd_flops_per_image():
+        # modified ResNet-18 at 64px patches (stride-1 layer3/4,
+        # reference code/resnet.py:21-41): per-conv 2*H*W*K*K*Cin*Cout.
+        f = 2 * 32 * 32 * 49 * 3 * 64                      # stem 7x7/2
+        f += 4 * 2 * 16 * 16 * 9 * 64 * 64                 # layer1
+        f += (2 * 8 * 8 * 9 * 64 * 128 + 2 * 8 * 8 * 64 * 128
+              + 3 * 2 * 8 * 8 * 9 * 128 * 128)             # layer2 (+ds)
+        f += (2 * 8 * 8 * 9 * 128 * 256 + 2 * 8 * 8 * 128 * 256
+              + 3 * 2 * 8 * 8 * 9 * 256 * 256)             # layer3 (+ds)
+        f += (2 * 8 * 8 * 9 * 256 * 512 + 2 * 8 * 8 * 256 * 512
+              + 3 * 2 * 8 * 8 * 9 * 512 * 512)             # layer4 (+ds)
+        return f
+
+    n_images = BATCH * CLIP_LEN * N_PATCHES
+    analytic_flops = 3 * conv_fwd_flops_per_image() * n_images
     mfu_pct = tflops_step = None
+    compiled_tflops = None
     try:
         an = run_k.lower(state, batch, key, 1).compile().cost_analysis()
         if isinstance(an, list):
             an = an[0]
-        flops = float(an.get("flops", 0.0))
+        compiled_tflops = round(float(an.get("flops", 0.0)) / 1e12, 2)
+    except Exception:
+        pass
+    try:
+        flops = float(analytic_flops)
         if flops > 0:
             kind = jax.devices()[0].device_kind.lower()
             # dense bf16 peak per chip: v5e 197 TF; v4 275 TF; CPU unknown
@@ -162,6 +185,8 @@ def main():
     if mfu_pct is not None:
         out["mfu_pct"] = round(mfu_pct, 1)
         out["tflops_per_step"] = round(tflops_step, 2)
+    if compiled_tflops is not None:
+        out["compiled_tflops_per_step"] = compiled_tflops
     print(json.dumps(out))
 
 

@@ -117,31 +117,6 @@ def test_bucketed_propagation_matches_unbucketed():
     np.testing.assert_allclose(bucketed, exact, rtol=1e-6, atol=1e-7)
 
 
-def test_fused_kernel_matches_blocked_path_interpret():
-    """Fused Pallas top-k kernel (ops/propagation_kernel.py) reproduces the
-    XLA blocked path end-to-end (interpret mode on CPU; the same kernel
-    compiles via Mosaic on TPU)."""
-    rng = np.random.RandomState(7)
-    n_context, N_targets, C, H, W, n_lbl = 3, 5, 16, 8, 9, 4
-    N = N_targets + n_context
-    feats = rng.randn(N, C, H, W).astype(np.float32)
-    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
-    labels0 = np.zeros((N, H, W, n_lbl), np.float32)
-    onehot = rng.randint(0, n_lbl, (H, W))
-    labels0[:n_context + 1] = np.eye(n_lbl, dtype=np.float32)[onehot]
-    key_indices = context_index_bank(n_context, [0], N_targets)
-
-    kw = dict(n_context=n_context, n_long=1, topk=5, temperature=0.07,
-              radius=3.0)
-    ref = np.asarray(propagate_labels(
-        jnp.asarray(feats), jnp.asarray(labels0), jnp.asarray(key_indices),
-        **kw))
-    fused = np.asarray(propagate_labels(
-        jnp.asarray(feats), jnp.asarray(labels0), jnp.asarray(key_indices),
-        backend="fused_interpret", **kw))
-    np.testing.assert_allclose(fused, ref, rtol=1e-5, atol=1e-6)
-
-
 def test_windowed_matches_blocked_selection():
     """topk_affinity_radius == topk_affinity_blocked whenever every query
     has >= topk in-radius candidates (the real eval regime)."""

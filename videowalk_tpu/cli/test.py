@@ -199,11 +199,11 @@ def test(loader, model, variables, args):
         t03 = time.time()
         backend = getattr(args, "prop_backend", "auto")
         if backend == "auto":
-            # tiled = the round-2 measured fast path on TPU (42 ms/target at
-            # 480p, one lax.top_k per target). The block-sparse Pallas
-            # kernel (--prop-backend sparse) supersedes it once measured
-            # faster on hardware. XLA blocked elsewhere.
-            backend = "tiled" if jax.default_backend() == "tpu" else "xla"
+            # sparse = the block-sparse Pallas kernel (ops/prop_sparse_
+            # kernel.py), measured 14.3 ms/target at DAVIS 480p on v5e vs
+            # 41.7 for the round-2 tiled XLA path (2.9x; both HIGHEST-
+            # precision affinities). XLA blocked elsewhere (CPU).
+            backend = "sparse" if jax.default_backend() == "tpu" else "xla"
         # feats stay device-resident end-to-end (host round-tripping the
         # ~400 MB feature stack cost ~10 s/video through the dev tunnel)
         preds = propagate_labels_bucketed(

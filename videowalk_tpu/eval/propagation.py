@@ -389,8 +389,7 @@ def propagate_labels(
             feats, labels0, key_indices, n_context=n_context,
             n_long=n_long, topk=topk, temperature=temperature,
             radius=radius, interpret=backend == "sparse_interpret")
-    fused = backend in ("fused", "fused_interpret")
-    mask = (None if fused or backend == "windowed"
+    mask = (None if backend == "windowed"
             else _spatial_mask(H, W, radius))
     feats_flat = feats.reshape(N, C, HW)
     lbl_buf = labels0.reshape(N, HW, n_lbl)
@@ -401,21 +400,7 @@ def propagate_labels(
         ctx_lbls = lbl_buf[idx_row]                      # (L, HW, n_lbl)
         query = jax.lax.dynamic_index_in_dim(
             feats_flat, t_global, axis=0, keepdims=False)  # (C, HW)
-        if fused:
-            from videowalk_tpu.ops.propagation_kernel import (
-                fused_topk_affinity, padded_hw)
-
-            weights, ids = fused_topk_affinity(
-                query, keys, n_long=n_long, topk=topk,
-                temperature=temperature, radius=radius, H=H, W=W,
-                interpret=backend == "fused_interpret")  # (topk, HW)
-            # the kernel's flat ids stride by the padded HW
-            hwp = padded_hw(HW)
-            flat_lbls = jnp.zeros((keys.shape[0] * hwp, n_lbl),
-                                  ctx_lbls.dtype)
-            flat_lbls = flat_lbls.reshape(-1, hwp, n_lbl).at[
-                :, :HW].set(ctx_lbls).reshape(-1, n_lbl)
-        elif backend == "tiled":
+        if backend == "tiled":
             weights, ids = topk_affinity_tiled(
                 query, keys, temperature, topk, n_long, radius, H, W)
             flat_lbls = ctx_lbls.reshape(-1, n_lbl)      # (L*HW, n_lbl)

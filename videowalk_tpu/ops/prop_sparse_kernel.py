@@ -65,7 +65,7 @@ def _kernel(idx_ref,            # SMEM (L,) int32 context frame indices
             lwin_ref,           # scratch f32 (2, WIN, WIN, nl)
             ksem, lsem,         # DMA semaphores (2,)
             *, H, W, Hh, Wh, r, n_long, n_short, topk, temperature, radius,
-            ntw):
+            ntw, precision):
     C = q_ref.shape[-1]
     nl = o_ref.shape[-1]
     TQ2 = TQ * TQ
@@ -92,7 +92,8 @@ def _kernel(idx_ref,            # SMEM (L,) int32 context frame indices
     for l in range(n_long):
         a = jax.lax.dot_general(
             q, klong_ref[l], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (TQ2, HWLp)
+            preferred_element_type=jnp.float32,
+            precision=precision)                         # (TQ2, HWLp)
         cand_ref[:, l * HWLp:(l + 1) * HWLp] = a * inv_t + lmask
         lab_ref[l * HWLp:(l + 1) * HWLp, :] = llong_ref[l]
 
@@ -150,7 +151,8 @@ def _kernel(idx_ref,            # SMEM (L,) int32 context frame indices
         kw = kwin_ref[slot].reshape(WIN2, C)
         a = jax.lax.dot_general(
             q, kw, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)           # (TQ2, WIN2)
+            preferred_element_type=jnp.float32,
+            precision=precision)                          # (TQ2, WIN2)
         seg = base + l * WIN2
         cand_ref[:, seg:seg + WIN2] = a * inv_t + smask
         lab_ref[seg:seg + WIN2, :] = lwin_ref[slot].reshape(WIN2, nl)
@@ -185,17 +187,18 @@ def _kernel(idx_ref,            # SMEM (L,) int32 context frame indices
 
     pred = jax.lax.dot_general(
         u_ref[...], lab_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)               # (TQ2, nl)
+        preferred_element_type=jnp.float32,
+        precision=precision)                              # (TQ2, nl)
     o_ref[...] = pred / z
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_long", "topk", "temperature", "radius", "H", "W",
-                     "interpret"))
+                     "interpret", "precision"))
 def sparse_topk_propagate(query, feats_pad, lbl_pad, klong, llong, idx_row,
                           *, n_long, topk, temperature, radius, H, W,
-                          interpret=False):
+                          interpret=False, precision="highest"):
     """One target frame's label predictions, fused in VMEM.
 
     Args:
@@ -229,10 +232,19 @@ def sparse_topk_propagate(query, feats_pad, lbl_pad, klong, llong, idx_row,
     qg = jnp.moveaxis(query.reshape(C, H, W), 0, -1)
     qg = jnp.pad(qg, ((0, Hp - H), (0, Wp - W), (0, 0)))
 
+    # The XLA backends pin Precision.HIGHEST on every affinity einsum
+    # (eval/propagation.py); the kernel defaults to the same so its top-k
+    # selections agree (default MXU precision truncates f32 affinities to
+    # bf16, which flips near-tie selections and drifts the autoregressive
+    # scan — measured max-label divergence 0.095 over 48 DAVIS-480p frames).
+    # "high" (3-pass) is a cheaper near-f32 option exposed for sweeps.
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[precision]
     kernel = functools.partial(
         _kernel, H=H, W=W, Hh=Hh, Wh=Wh, r=r, n_long=n_long,
         n_short=n_short, topk=topk, temperature=float(temperature),
-        radius=float(radius), ntw=ntw)
+        radius=float(radius), ntw=ntw, precision=prec)
 
     out = pl.pallas_call(
         kernel,

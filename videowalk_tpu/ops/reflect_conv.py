@@ -230,21 +230,19 @@ def reflect_conv2d(x: jax.Array, conv, kernel: int, stride: int,
     # conv (ops/rconv_kernel.py) is exact everywhere it claims support
     # (tests/test_rconv_kernel.py), but only WINS on the deep high-channel
     # shapes — per-conv fwd+bwd at the flagship batch (v5e, 2026-08-17):
-    # 8x8 512->512 kernel 17.3 vs fallback 19.5 ms; 8x8 256->512 8.9 vs
-    # 9.2; 8x8 256->256 within noise either way across processes; 8x8x128
-    # 1.9 vs 1.1; 16x16x64 9.4 vs 3.4 (the low-C taps are 9 MXU-starved
-    # K=64 matmuls). ``auto`` therefore routes only the consistent winners
-    # (8x8, Cin or Cout >= 512 — all four layer4 convs, ~60% of the
-    # reflect-vs-zeros gap) through the kernel, on TPU only; ``on`` forces
-    # it for every supported shape.
+    # 8x8x512 kernel 17.3 vs fallback 19.5 ms; 8x8x256 5.3 vs 5.0;
+    # 8x8x128 1.9 vs 1.1; 16x16x64 9.4 vs 3.4 (the low-C taps are 9
+    # MXU-starved K=64 matmuls). ``auto`` therefore routes only the
+    # measured-winning shapes (8x8, Cin >= 512 — layer4 interior, ~60% of
+    # the reflect-vs-zeros gap) through the kernel, on TPU only; ``on``
+    # forces it for every supported shape.
     rmode = os.environ.get("VIDEOWALK_RCONV", "auto")
     if rmode in ("on", "auto"):
         from videowalk_tpu.ops.rconv_kernel import rconv_supported
 
-        cout = getattr(conv, "features", 0)
         if rconv_supported(H, W, kernel, stride, pad) and (
                 rmode == "on"
-                or (H == 8 and W == 8 and max(C, cout) >= 512
+                or (H == 8 and W == 8 and C >= 512
                     and jax.default_backend() == "tpu")):
             return conv(x, "REFLECT_KERNEL")
     fuse = _fuse_mode()

@@ -202,8 +202,17 @@ def test(loader, model, variables, args):
             # sparse = the block-sparse Pallas kernel (ops/prop_sparse_
             # kernel.py), measured 14.3 ms/target at DAVIS 480p on v5e vs
             # 41.7 for the round-2 tiled XLA path (2.9x; both HIGHEST-
-            # precision affinities). XLA blocked elsewhere (CPU).
-            backend = "sparse" if jax.default_backend() == "tpu" else "xla"
+            # precision affinities). Shapes the kernel's DMA tiling cannot
+            # express (odd radii, >128 label channels) fall back to tiled;
+            # XLA blocked on CPU.
+            from videowalk_tpu.ops.prop_sparse_kernel import sparse_supported
+
+            if jax.default_backend() == "tpu":
+                backend = ("sparse" if sparse_supported(
+                    feats.shape[1], labels0.shape[-1], float(args.radius))
+                    else "tiled")
+            else:
+                backend = "xla"
         # feats stay device-resident end-to-end (host round-tripping the
         # ~400 MB feature stack cost ~10 s/video through the dev tunnel)
         preds = propagate_labels_bucketed(

@@ -284,6 +284,16 @@ def sparse_topk_propagate(query, feats_pad, lbl_pad, klong, llong, idx_row,
     return out[jnp.asarray(perm)]
 
 
+def sparse_supported(C: int, n_lbl: int, radius: float) -> bool:
+    """Shape gate for the compiled TPU kernel (interpret mode has no such
+    limits): the halo window is a sublane-dim HBM slice (size must be a
+    multiple of the 8-row tile), feature channels ride the lane dim of the
+    key DMA (must be 128-aligned — true for every encoder in the factory:
+    256/512/1024), and labels pad to one 128-lane tile."""
+    win = TQ + 2 * int(np.floor(radius))
+    return win % 8 == 0 and C % 128 == 0 and 1 <= n_lbl <= 128
+
+
 def pad_for_sparse(feats: jax.Array, radius: float, H: int, W: int
                    ) -> jax.Array:
     """(N, C, HW) features -> zero-padded key layout.

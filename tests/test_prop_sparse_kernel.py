@@ -60,6 +60,20 @@ def test_sparse_matches_blocked_two_long_frames():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_sparse_supported_gate():
+    """The compiled-kernel shape gate (used by --prop-backend auto on TPU):
+    the halo window (8 + 2*floor(r)) must be sublane-tileable, feature
+    channels lane-aligned, labels within one 128-lane tile."""
+    from videowalk_tpu.ops.prop_sparse_kernel import sparse_supported
+
+    assert sparse_supported(256, 3, 12.0)      # DAVIS: r=12 -> WIN 32
+    assert sparse_supported(1024, 20, 8.0)     # VIP-ish: WIN 24
+    assert not sparse_supported(256, 3, 5.0)   # WIN 18: off-tile rows
+    assert not sparse_supported(192, 3, 12.0)  # channels not 128-aligned
+    assert not sparse_supported(256, 200, 12.0)  # labels exceed a lane tile
+    assert not sparse_supported(256, 0, 12.0)
+
+
 def test_sparse_first_target_is_ground_truth():
     """The reference quirk (code/test.py:156-160) survives the kernel path."""
     H, W = 8, 8

@@ -44,6 +44,17 @@ interior conv of the modified ResNet (layer1 16x16 through layer3/4 8x8 at
 the bench regime). The stem (7x7/2) and the one stride-2 conv keep the
 materialized-pad fallback; 1x1 convs have no padding at all.
 
+Deployment verdict (v5e, 2026-08-17, per-conv fwd+bwd at the flagship
+batch): WINS at 8x8 Cin=512 (17.3 vs 19.5 ms fallback), parity-to-loss at
+256, loses badly at low C (the 9 taps are MXU-starved K=64 matmuls and the
+output N=64 half-fills the MXU either way). ``reflect_conv2d`` auto-gates
+it to the layer4 interior convs. Two tempting "improvements" measured and
+REVERTED on same-process full-step A/B: widening the gate to layer4-conv1
+(isolated win, full-step 125 -> 132.7 ms) and an offset-grouped dx with
+cached shifts (fewer rolls, but larger live-set on Mosaic's stack —
+neutral-to-slower). Lesson: isolated per-conv wins do not compose; gate
+changes must be A/B'd on the full step.
+
 Exactness is pinned by tests/test_rconv_kernel.py against reflect-pad+VALID:
 forward, input gradient, and kernel gradient.
 """

@@ -20,6 +20,7 @@ torch.topk. No host round-trips inside the loop.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -441,7 +442,12 @@ def _propagate_labels_sparse(feats, labels0, key_indices, *, n_context,
     HW = H * W
     n_lbl = labels0.shape[-1]
     r = int(np.floor(radius))
-    feats_pad = pad_for_sparse(feats.reshape(N, C, HW), radius, H, W)
+    # Query tile side: 16 quadruples the affinity matmuls' M (fills the
+    # MXU's 128 rows) and cuts halo read amplification 2.56x, at a 4x-wider
+    # candidate scratch; 8 is the conservative default.
+    tile = int(os.environ.get("VIDEOWALK_SPARSE_TILE", "8"))
+    feats_pad = pad_for_sparse(feats.reshape(N, C, HW), radius, H, W,
+                               tile=tile)
     # same halo + tile-grid padding as the keys (kernel window slices).
     # The channel (label) dim is padded to one full lane tile (128): Mosaic
     # can only DMA HBM slices whose lane dim is 128-aligned, and n_lbl sits
@@ -463,7 +469,8 @@ def _propagate_labels_sparse(feats, labels0, key_indices, *, n_context,
         pred = sparse_topk_propagate(
             query, feats_pad, lbl_pad, klong, llong, idx_row,
             n_long=n_long, topk=topk, temperature=temperature,
-            radius=radius, H=H, W=W, interpret=interpret)   # (HW, NLP)
+            radius=radius, H=H, W=W, interpret=interpret,
+            tile=tile)                                      # (HW, NLP)
         # Reference quirk (code/test.py:156-160): the FIRST target's
         # prediction is replaced by the ground-truth frame-0 labels.
         gt0 = lbl_pad[0, r:r + H, r:r + W].reshape(HW, NLP)

@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TQ = 8          # query tile side
+TQ = 8          # default query tile side (see sparse_topk_propagate(tile=))
 _NEG = -1e30    # "removed / invalid" candidate fill
 
 
@@ -52,24 +52,24 @@ def _align(n: int, m: int) -> int:
 
 
 def _kernel(idx_ref,            # SMEM (L,) int32 context frame indices
-            q_ref,              # VMEM (TQ, TQ, C) query tile
+            q_ref,              # VMEM (tq, tq, C) query tile
             klong_ref,          # VMEM (n_long, HWLp, C) long-term keys
             llong_ref,          # VMEM (n_long, HWLp, nl) long-term labels
             feats_ref,          # ANY  (N, Hh, Wh, C) padded per-frame keys
             lbls_ref,           # ANY  (N, Hh, Wh, nl) padded label buffer
-            o_ref,              # VMEM (TQ*TQ, nl) tile predictions
-            cand_ref,           # scratch f32 (TQ2, CW)
-            u_ref,              # scratch f32 (TQ2, CW)
+            o_ref,              # VMEM (tq*tq, nl) tile predictions
+            cand_ref,           # scratch f32 (TQ2, CW); reused as U after
+                                # the destructive top-k (saves a CW-wide buf)
             lab_ref,            # scratch f32 (CW, nl)
             kwin_ref,           # scratch f32 (2, WIN, WIN, C)
             lwin_ref,           # scratch f32 (2, WIN, WIN, nl)
             ksem, lsem,         # DMA semaphores (2,)
             *, H, W, Hh, Wh, r, n_long, n_short, topk, temperature, radius,
-            ntw, precision):
+            ntw, precision, tq):
     C = q_ref.shape[-1]
     nl = o_ref.shape[-1]
-    TQ2 = TQ * TQ
-    WIN = TQ + 2 * r
+    TQ2 = tq * tq
+    WIN = tq + 2 * r
     WIN2 = WIN * WIN
     HWLp = klong_ref.shape[1]
     CW = cand_ref.shape[1]
@@ -98,23 +98,23 @@ def _kernel(idx_ref,            # SMEM (L,) int32 context frame indices
         lab_ref[l * HWLp:(l + 1) * HWLp, :] = llong_ref[l]
 
     # ---- short-term frames: halo windows, bounds + disk mask
-    # query cell (qr, qc) sits at padded coords (ti*TQ + r + qr, ...); window
-    # cell (wr, wc) at (ti*TQ + wr, ...). dy = wr - r - qr.
+    # query cell (qr, qc) sits at padded coords (ti*tq + r + qr, ...); window
+    # cell (wr, wc) at (ti*tq + wr, ...). dy = wr - r - qr.
     # Built DIRECTLY in the (TQ2, WIN2) candidate layout via 2-D iotas +
-    # div/rem: Mosaic rejects the 4-D (TQ,TQ,WIN,WIN)->(TQ2,WIN2) vector
+    # div/rem: Mosaic rejects the 4-D (tq,tq,WIN,WIN)->(TQ2,WIN2) vector
     # reshape ("unsupported shape cast" — both tiled dims change), while
-    # lane-preserving leading-dim collapses like (TQ,TQ,C)->(TQ2,C) lower
+    # lane-preserving leading-dim collapses like (tq,tq,C)->(TQ2,C) lower
     # fine.
     p = jax.lax.broadcasted_iota(jnp.int32, (TQ2, WIN2), 0)
     s = jax.lax.broadcasted_iota(jnp.int32, (TQ2, WIN2), 1)
-    qr = p // TQ
-    qc = p - qr * TQ
+    qr = p // tq
+    qc = p - qr * tq
     wr = s // WIN
     wc = s - wr * WIN
     dy = wr - r - qr
     dx = wc - r - qc
-    krow = ti * TQ + wr                                   # padded coords
-    kcol = tj * TQ + wc
+    krow = ti * tq + wr                                   # padded coords
+    kcol = tj * tq + wc
     ok = ((dy * dy + dx * dx).astype(jnp.float32) < radius * radius) \
         & (krow >= r) & (krow < r + H) & (kcol >= r) & (kcol < r + W)
     smask = jnp.where(ok, 0.0, _NEG).astype(jnp.float32)
@@ -124,10 +124,10 @@ def _kernel(idx_ref,            # SMEM (L,) int32 context frame indices
     def start_dma(l, slot):
         fr = idx_ref[n_long + l]
         kd = pltpu.make_async_copy(
-            feats_ref.at[fr, pl.ds(ti * TQ, WIN), pl.ds(tj * TQ, WIN), :],
+            feats_ref.at[fr, pl.ds(ti * tq, WIN), pl.ds(tj * tq, WIN), :],
             kwin_ref.at[slot], ksem.at[slot])
         ld = pltpu.make_async_copy(
-            lbls_ref.at[fr, pl.ds(ti * TQ, WIN), pl.ds(tj * TQ, WIN), :],
+            lbls_ref.at[fr, pl.ds(ti * tq, WIN), pl.ds(tj * tq, WIN), :],
             lwin_ref.at[slot], lsem.at[slot])
         kd.start()
         ld.start()
@@ -142,11 +142,11 @@ def _kernel(idx_ref,            # SMEM (L,) int32 context frame indices
         # the same semaphores)
         pltpu.make_async_copy(
             feats_ref.at[idx_ref[n_long + l],
-                         pl.ds(ti * TQ, WIN), pl.ds(tj * TQ, WIN), :],
+                         pl.ds(ti * tq, WIN), pl.ds(tj * tq, WIN), :],
             kwin_ref.at[slot], ksem.at[slot]).wait()
         pltpu.make_async_copy(
             lbls_ref.at[idx_ref[n_long + l],
-                        pl.ds(ti * TQ, WIN), pl.ds(tj * TQ, WIN), :],
+                        pl.ds(ti * tq, WIN), pl.ds(tj * tq, WIN), :],
             lwin_ref.at[slot], lsem.at[slot]).wait()
         kw = kwin_ref[slot].reshape(WIN2, C)
         a = jax.lax.dot_general(
@@ -166,27 +166,37 @@ def _kernel(idx_ref,            # SMEM (L,) int32 context frame indices
         lab_ref[base + n_short * WIN2:, :] = jnp.zeros((tail, nl),
                                                        jnp.float32)
 
-    # ---- destructive k-pass top-k + unnormalized-softmax sparse weights
-    u_ref[...] = jnp.zeros((TQ2, CW), jnp.float32)
+    # ---- destructive k-pass top-k + unnormalized-softmax sparse weights.
+    # Selection first (cand is consumed pass by pass, only the k
+    # (index, weight) column pairs are kept), then the sparse weight matrix
+    # U is rebuilt IN cand_ref's buffer — U and the candidates never need
+    # to coexist, which halves the kernel's CW-wide VMEM footprint (this is
+    # what lets tile=16's 45 MB candidate row fit).
     col = jax.lax.broadcasted_iota(jnp.int32, (TQ2, CW), 1)
     vmax = None
     z = jnp.zeros((TQ2, 1), jnp.float32)
+    picks = []
     for j in range(topk):
         c = cand_ref[...]
         m = jnp.max(c, axis=1, keepdims=True)             # (TQ2, 1)
         hit = c >= m                                      # >=: exact max hit
         first = jnp.min(jnp.where(hit, col, CW), axis=1,
                         keepdims=True)                    # first occurrence
-        oh = col == first                                 # exact one-hot
         if j == 0:
             vmax = m
         e = jnp.exp(m - vmax)                             # (TQ2, 1)
-        u_ref[...] += jnp.where(oh, e, 0.0)
+        picks.append((first, e))
         z += e
-        cand_ref[...] = jnp.where(oh, _NEG, c)
+        cand_ref[...] = jnp.where(col == first, _NEG, c)
+    for j, (first, e) in enumerate(picks):
+        term = jnp.where(col == first, e, 0.0)
+        if j == 0:
+            cand_ref[...] = term
+        else:
+            cand_ref[...] += term
 
     pred = jax.lax.dot_general(
-        u_ref[...], lab_ref[...], (((1,), (0,)), ((), ())),
+        cand_ref[...], lab_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=precision)                              # (TQ2, nl)
     o_ref[...] = pred / z
@@ -195,10 +205,10 @@ def _kernel(idx_ref,            # SMEM (L,) int32 context frame indices
 @functools.partial(
     jax.jit,
     static_argnames=("n_long", "topk", "temperature", "radius", "H", "W",
-                     "interpret", "precision"))
+                     "interpret", "precision", "tile"))
 def sparse_topk_propagate(query, feats_pad, lbl_pad, klong, llong, idx_row,
                           *, n_long, topk, temperature, radius, H, W,
-                          interpret=False, precision="highest"):
+                          interpret=False, precision="highest", tile=TQ):
     """One target frame's label predictions, fused in VMEM.
 
     Args:
@@ -210,21 +220,26 @@ def sparse_topk_propagate(query, feats_pad, lbl_pad, klong, llong, idx_row,
       llong: (n_long, HWLp, nl) the matching label rows.
       idx_row: (n_long + n_short,) int32 context frame indices (the
         short-term tail indexes feats_pad / lbl_pad).
+      tile: query tile side. 8 = default; 16 quadruples the affinity
+        matmuls' M (fills the MXU's 128 rows) and cuts halo read
+        amplification 2.56x, at a 4x-wider candidate scratch — viable only
+        because U is rebuilt in the candidate buffer (see _kernel).
     Returns:
       (HW, nl) predicted soft labels, raster order.
     """
+    tq = int(tile)
     C, HW = query.shape
     assert HW == H * W
     N, Hh, Wh, _ = feats_pad.shape
     r = int(np.floor(radius))
-    assert Hh == _align(H, TQ) + 2 * r and Wh == _align(W, TQ) + 2 * r, \
-        "feats_pad must come from pad_for_sparse"
-    WIN = TQ + 2 * r
+    assert Hh == _align(H, tq) + 2 * r and Wh == _align(W, tq) + 2 * r, \
+        "feats_pad must come from pad_for_sparse with the same tile"
+    WIN = tq + 2 * r
     nl = lbl_pad.shape[-1]
     n_short = int(idx_row.shape[0]) - n_long
-    nth, ntw = -(-H // TQ), -(-W // TQ)
-    Hp, Wp = nth * TQ, ntw * TQ
-    R = nth * ntw * TQ * TQ
+    nth, ntw = -(-H // tq), -(-W // tq)
+    Hp, Wp = nth * tq, ntw * tq
+    R = nth * ntw * tq * tq
     HWLp = klong.shape[1]
     CW = _align(n_long * HWLp + n_short * WIN * WIN, 128)
 
@@ -244,14 +259,14 @@ def sparse_topk_propagate(query, feats_pad, lbl_pad, klong, llong, idx_row,
     kernel = functools.partial(
         _kernel, H=H, W=W, Hh=Hh, Wh=Wh, r=r, n_long=n_long,
         n_short=n_short, topk=topk, temperature=float(temperature),
-        radius=float(radius), ntw=ntw, precision=prec)
+        radius=float(radius), ntw=ntw, precision=prec, tq=tq)
 
     out = pl.pallas_call(
         kernel,
         grid=(nth * ntw,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                 # idx_row
-            pl.BlockSpec((TQ, TQ, C), lambda i: (i // ntw, i % ntw, 0),
+            pl.BlockSpec((tq, tq, C), lambda i: (i // ntw, i % ntw, 0),
                          memory_space=pltpu.VMEM),                 # query
             pl.BlockSpec((n_long, HWLp, C), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),                 # klong
@@ -260,12 +275,11 @@ def sparse_topk_propagate(query, feats_pad, lbl_pad, klong, llong, idx_row,
             pl.BlockSpec(memory_space=pl.ANY),                  # feats
             pl.BlockSpec(memory_space=pl.ANY),                  # labels
         ],
-        out_specs=pl.BlockSpec((TQ * TQ, nl), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tq * tq, nl), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, nl), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((TQ * TQ, CW), jnp.float32),                # cand
-            pltpu.VMEM((TQ * TQ, CW), jnp.float32),                # U
+            pltpu.VMEM((tq * tq, CW), jnp.float32),                # cand/U
             pltpu.VMEM((CW, nl), jnp.float32),                     # labels
             pltpu.VMEM((2, WIN, WIN, C), jnp.float32),             # key win
             pltpu.VMEM((2, WIN, WIN, nl), jnp.float32),            # lbl win
@@ -279,8 +293,8 @@ def sparse_topk_propagate(query, feats_pad, lbl_pad, klong, llong, idx_row,
 
     # tiled row order -> raster query order
     hq, wq = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-    perm = (((hq // TQ) * ntw + wq // TQ) * (TQ * TQ)
-            + (hq % TQ) * TQ + wq % TQ).reshape(-1)
+    perm = (((hq // tq) * ntw + wq // tq) * (tq * tq)
+            + (hq % tq) * tq + wq % tq).reshape(-1)
     return out[jnp.asarray(perm)]
 
 
@@ -290,21 +304,24 @@ def sparse_supported(C: int, n_lbl: int, radius: float) -> bool:
     multiple of the 8-row tile), feature channels ride the lane dim of the
     key DMA (must be 128-aligned — true for every encoder in the factory:
     256/512/1024), and labels pad to one 128-lane tile."""
-    win = TQ + 2 * int(np.floor(radius))
+    import os
+
+    tile = int(os.environ.get("VIDEOWALK_SPARSE_TILE", str(TQ)))
+    win = tile + 2 * int(np.floor(radius))
     return win % 8 == 0 and C % 128 == 0 and 1 <= n_lbl <= 128
 
 
-def pad_for_sparse(feats: jax.Array, radius: float, H: int, W: int
-                   ) -> jax.Array:
+def pad_for_sparse(feats: jax.Array, radius: float, H: int, W: int,
+                   tile: int = TQ) -> jax.Array:
     """(N, C, HW) features -> zero-padded key layout.
 
-    Rows/cols span ``r`` halo + the TQ-aligned query grid + ``r`` halo, so
+    Rows/cols span ``r`` halo + the tile-aligned query grid + ``r`` halo, so
     the window of the LAST (possibly partial) tile row/column is still an
-    in-bounds static slice: (N, r + ceil(H/TQ)*TQ + r, same for W, C).
+    in-bounds static slice: (N, r + ceil(H/tile)*tile + r, same for W, C).
     """
     r = int(np.floor(radius))
     N, C, HW = feats.shape
-    Hp, Wp = _align(H, TQ), _align(W, TQ)
+    Hp, Wp = _align(H, tile), _align(W, tile)
     x = jnp.moveaxis(feats.reshape(N, C, H, W), 1, -1)
     return jnp.pad(x, ((0, 0), (r, r + Hp - H), (r, r + Wp - W), (0, 0)))
 

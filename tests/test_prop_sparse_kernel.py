@@ -60,6 +60,25 @@ def test_sparse_matches_blocked_two_long_frames():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_sparse_tile16_matches_blocked(monkeypatch):
+    """VIDEOWALK_SPARSE_TILE=16 (experimental MXU-filling tile) through the
+    sparse backend reproduces the XLA path (interpret mode)."""
+    monkeypatch.setenv("VIDEOWALK_SPARSE_TILE", "16")
+    H, W = 18, 21
+    n_context, N_targets, C, n_lbl = 3, 5, 8, 4
+    feats, labels0 = _setup(3, n_context, N_targets, C, H, W, n_lbl)
+    key_indices = context_index_bank(n_context, [0], N_targets)
+    kw = dict(n_context=n_context, n_long=1, topk=5, temperature=0.07,
+              radius=4.0)
+    want = np.asarray(propagate_labels(
+        jnp.asarray(feats), jnp.asarray(labels0), jnp.asarray(key_indices),
+        backend="xla", **kw))
+    got = np.asarray(propagate_labels(
+        jnp.asarray(feats), jnp.asarray(labels0), jnp.asarray(key_indices),
+        backend="sparse_interpret", **kw))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_sparse_supported_gate():
     """The compiled-kernel shape gate (used by --prop-backend auto on TPU):
     the halo window (8 + 2*floor(r)) must be sublane-tileable, feature

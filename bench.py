@@ -146,7 +146,9 @@ def main():
         an = run_k.lower(state, batch, key, 1).compile().cost_analysis()
         if isinstance(an, list):
             an = an[0]
-        compiled_tflops = round(float(an.get("flops", 0.0)) / 1e12, 2)
+        cf = float(an.get("flops", 0.0))
+        if cf > 0:   # absent/zero means "unknown here" — omit, don't emit 0
+            compiled_tflops = round(cf / 1e12, 2)
     except Exception:
         pass
     try:

@@ -20,7 +20,6 @@ torch.topk. No host round-trips inside the loop.
 
 from __future__ import annotations
 
-import os
 from functools import partial
 
 import numpy as np
@@ -351,9 +350,12 @@ def topk_affinity_tiled(query: jax.Array, keys: jax.Array,
     return w.T, flat.T                                 # (topk, HW)
 
 
+BACKENDS = ("xla", "tiled", "windowed", "sparse", "sparse_interpret")
+
+
 @partial(jax.jit, static_argnames=("n_context", "n_long", "topk",
                                    "temperature", "radius", "blocked",
-                                   "backend"))
+                                   "backend", "tile"))
 def propagate_labels(
     feats: jax.Array,
     labels0: jax.Array,
@@ -366,6 +368,7 @@ def propagate_labels(
     radius: float,
     blocked: bool = True,
     backend: str = "xla",
+    tile: int | None = None,
 ) -> jax.Array:
     """Autoregressive label propagation over a whole video, on device.
 
@@ -378,10 +381,18 @@ def propagate_labels(
         code/test.py:142 zeroing).
       key_indices: ``(N_targets, n_long + n_context)`` from
         ``context_index_bank``.
+      tile: sparse-backend query tile side; None resolves
+        ``VIDEOWALK_SPARSE_TILE`` AT TRACE TIME — this function is jitted
+        and ``tile`` is part of the cache key, so callers sweeping tiles in
+        one process must pass it explicitly (``propagate_labels_bucketed``
+        does).
 
     Returns:
       ``(N_targets, H, W, L)`` predicted soft labels per target frame.
     """
+    if backend not in BACKENDS:
+        raise ValueError(f"unknown propagation backend {backend!r} "
+                         f"(choose from {BACKENDS})")
     N, C, H, W = feats.shape
     HW = H * W
     n_lbl = labels0.shape[-1]
@@ -389,7 +400,8 @@ def propagate_labels(
         return _propagate_labels_sparse(
             feats, labels0, key_indices, n_context=n_context,
             n_long=n_long, topk=topk, temperature=temperature,
-            radius=radius, interpret=backend == "sparse_interpret")
+            radius=radius, interpret=backend == "sparse_interpret",
+            tile=tile)
     mask = (None if backend == "windowed"
             else _spatial_mask(H, W, radius))
     feats_flat = feats.reshape(N, C, HW)
@@ -429,7 +441,8 @@ def propagate_labels(
 
 
 def _propagate_labels_sparse(feats, labels0, key_indices, *, n_context,
-                             n_long, topk, temperature, radius, interpret):
+                             n_long, topk, temperature, radius, interpret,
+                             tile=None):
     """``propagate_labels`` via the block-sparse Pallas kernel
     (ops/prop_sparse_kernel.py): keys and the label buffer live in a
     zero-padded (N, H+2r, W+2r, .) halo layout so the kernel's per-tile
@@ -444,8 +457,12 @@ def _propagate_labels_sparse(feats, labels0, key_indices, *, n_context,
     r = int(np.floor(radius))
     # Query tile side: 16 quadruples the affinity matmuls' M (fills the
     # MXU's 128 rows) and cuts halo read amplification 2.56x, at a 4x-wider
-    # candidate scratch; 8 is the conservative default.
-    tile = int(os.environ.get("VIDEOWALK_SPARSE_TILE", "8"))
+    # candidate scratch; 8 is the measured default. sparse_tile() is the
+    # single validated authority for the env knob.
+    if tile is None:
+        from videowalk_tpu.ops.prop_sparse_kernel import sparse_tile
+
+        tile = sparse_tile()
     feats_pad = pad_for_sparse(feats.reshape(N, C, HW), radius, H, W,
                                tile=tile)
     # same halo + tile-grid padding as the keys (kernel window slices).
@@ -549,9 +566,17 @@ def propagate_labels_bucketed(
             [jnp.asarray(labels0),
              jnp.zeros((*labels0.shape[:-1], pl), labels0.dtype)], axis=-1)
 
+    # Resolve the sparse tile EAGERLY so it is part of propagate_labels'
+    # jit cache key (resolved inside the trace, an env change after the
+    # first trace would be silently ignored).
+    tile = None
+    if backend in ("sparse", "sparse_interpret"):
+        from videowalk_tpu.ops.prop_sparse_kernel import sparse_tile
+
+        tile = sparse_tile()
     preds = propagate_labels(
         jnp.asarray(feats), jnp.asarray(labels0), jnp.asarray(key_indices),
         n_context=n_context, n_long=n_long, topk=topk,
         temperature=temperature, radius=radius, blocked=blocked,
-        backend=backend)
+        backend=backend, tile=tile)
     return np.asarray(preds)[:n_targets, ..., :n_lbl]

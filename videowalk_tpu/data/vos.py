@@ -44,9 +44,21 @@ def resize_hw(img: np.ndarray, h: int, w: int,
 
 
 def make_lbl_set(lbls: np.ndarray) -> np.ndarray:
-    """Unique frame-0 colors as the label set (reference vos.py:68-75)."""
+    """Unique frame-0 colors as the label set (reference vos.py:68-75).
+
+    3-channel uint8 rows are packed into one uint32 per pixel before
+    ``np.unique`` — same set, same lexicographic order (channel 0 is the
+    most significant byte), ~30x faster than row-wise unique at 480p.
+    """
     flat = lbls[0].reshape(-1, lbls.shape[-1]).astype(np.uint8)
-    return np.unique(flat, axis=0)
+    if flat.shape[-1] != 3:
+        return np.unique(flat, axis=0)
+    packed = (flat[:, 0].astype(np.uint32) << 16
+              | flat[:, 1].astype(np.uint32) << 8
+              | flat[:, 2].astype(np.uint32))
+    u = np.unique(packed)
+    return np.stack([(u >> 16) & 0xFF, (u >> 8) & 0xFF, u & 0xFF],
+                    axis=-1).astype(np.uint8)
 
 
 def texturize(onehot: np.ndarray) -> np.ndarray:
@@ -121,41 +133,57 @@ class VOSDataset:
         # traffic than shipping normalized float32 (the reference normalizes
         # on host, code/data/vos.py:173,214).
         raw_u8 = self.imgSize <= 0 and not self.use_lab
+        # the videoLen prefix repeats frame 0's paths; decode each unique
+        # file once (the reference re-reads frame 0 videoLen+1 times,
+        # ~0.2 s/video at 480p)
+        _dec_cache: dict = {}
+
+        def _read(path):
+            got = _dec_cache.get(path)
+            if got is None:
+                got = _dec_cache[path] = cv2.imread(path)
+            return got
+
         imgs, imgs_orig, lbls = [], [], []
         for i in range(frame_num):
             if raw_u8:
-                bgr = cv2.imread(img_paths[i])
-                if bgr is None:
-                    raise IOError(f"cannot read image: {img_paths[i]}")
-                img = bgr[:, :, ::-1].copy()        # uint8 RGB
+                key = (img_paths[i], "rgb")
+                img = _dec_cache.get(key)
+                if img is None:
+                    bgr = _read(img_paths[i])
+                    if bgr is None:
+                        raise IOError(f"cannot read image: {img_paths[i]}")
+                    img = _dec_cache[key] = np.ascontiguousarray(
+                        bgr[:, :, ::-1])                 # uint8 RGB
                 imgs.append(img)
                 imgs_orig.append(img)
-                lbls.append(cv2.imread(lbl_paths[i]).copy())
+                lbls.append(_read(lbl_paths[i]))
                 continue
-            img = load_image(img_paths[i])
-            lblimg = cv2.imread(lbl_paths[i])
-            ht, wd = img.shape[:2]
-            if self.imgSize > 0:
-                # shorter-side resize (reference vos.py:186-202; the
-                # reference's ratio is hardcoded 1.0, i.e. square resize)
-                newh = neww = self.imgSize
-                img = resize_hw(img, newh, neww)
-                lblimg = cv2.resize(lblimg, (neww, newh),
-                                    interpolation=cv2.INTER_NEAREST)
-            else:
-                newh, neww = ht, wd
-            img_orig = img.copy()
-            if self.use_lab:
-                u8 = (img * 255).astype(np.uint8)[:, :, ::-1]  # RGB->BGR
-                lab = cv2.cvtColor(u8, cv2.COLOR_BGR2LAB).astype(np.float32)
-                lab = (lab - 128.0) / 128.0
-                img = np.stack([lab[..., 0]] * 3, axis=-1)
-            else:
-                img = ((img - np.asarray(IMAGENET_MEAN, np.float32))
-                       / np.asarray(IMAGENET_STD, np.float32))
-            imgs.append(img)
-            imgs_orig.append(img_orig)
-            lbls.append(lblimg.copy())
+            key = (img_paths[i], lbl_paths[i])
+            cached = _dec_cache.get(key)
+            if cached is None:
+                img = load_image(img_paths[i])
+                lblimg = cv2.imread(lbl_paths[i])
+                if self.imgSize > 0:
+                    # shorter-side resize (reference vos.py:186-202; the
+                    # reference's ratio is hardcoded 1.0, i.e. square resize)
+                    newh = neww = self.imgSize
+                    img = resize_hw(img, newh, neww)
+                    lblimg = cv2.resize(lblimg, (neww, newh),
+                                        interpolation=cv2.INTER_NEAREST)
+                img_orig = img
+                if self.use_lab:
+                    u8 = (img * 255).astype(np.uint8)[:, :, ::-1]  # RGB->BGR
+                    lab = cv2.cvtColor(u8, cv2.COLOR_BGR2LAB)
+                    lab = (lab.astype(np.float32) - 128.0) / 128.0
+                    img = np.stack([lab[..., 0]] * 3, axis=-1)
+                else:
+                    img = ((img - np.asarray(IMAGENET_MEAN, np.float32))
+                           / np.asarray(IMAGENET_STD, np.float32))
+                cached = _dec_cache[key] = (img, img_orig, lblimg)
+            imgs.append(cached[0])
+            imgs_orig.append(cached[1])
+            lbls.append(cached[2])
 
         meta = dict(folder_path=folder_path, img_paths=img_paths,
                     lbl_paths=lbl_paths)
@@ -169,7 +197,14 @@ class VOSDataset:
         rsz_w = math.ceil(imgs[0].shape[1] / self.mapScale[1])
 
         onehots, resizes = [], []
+        _lbl_cache: dict = {}
         for i, p in enumerate(lbl_paths):
+            cached = _lbl_cache.get(p)
+            if cached is not None:  # videoLen prefix repeats frame 0's label
+                onehot, resized = cached
+                resizes.append(resized)
+                onehots.append(onehot)
+                continue
             prefix = os.path.splitext(p)[0]
             oh_path = f"{prefix}_onehot.npy"
             rz_path = f"{prefix}_size{rsz_h}x{rsz_w}.npy"
@@ -189,6 +224,7 @@ class VOSDataset:
                     np.save(rz_path, resized)
                 except OSError:
                     pass
+            _lbl_cache[p] = (onehot, resized)
             if self.texture:
                 texturized = texturize(resized)
                 resizes.append(texturized)

@@ -81,16 +81,42 @@ def test_sparse_tile16_matches_blocked(monkeypatch):
 
 def test_sparse_supported_gate():
     """The compiled-kernel shape gate (used by --prop-backend auto on TPU):
-    the halo window (8 + 2*floor(r)) must be sublane-tileable, feature
-    channels lane-aligned, labels within one 128-lane tile."""
-    from videowalk_tpu.ops.prop_sparse_kernel import sparse_supported
+    feature channels lane-aligned, labels within one 128-lane tile; any
+    radius (the DMA halo self-aligns to the sublane tile)."""
+    from videowalk_tpu.ops.prop_sparse_kernel import (sparse_halo,
+                                                      sparse_supported)
 
     assert sparse_supported(256, 3, 12.0)      # DAVIS: r=12 -> WIN 32
     assert sparse_supported(1024, 20, 8.0)     # VIP-ish: WIN 24
-    assert not sparse_supported(256, 3, 5.0)   # WIN 18: off-tile rows
-    assert not sparse_supported(192, 3, 12.0)  # channels not 128-aligned
-    assert not sparse_supported(256, 200, 12.0)  # labels exceed a lane tile
-    assert not sparse_supported(256, 0, 12.0)
+    assert sparse_supported(256, 3, 5.0)       # odd radius: halo rounds up
+    assert not sparse_supported(200, 3, 12.0)  # channels off the lane tile
+    assert not sparse_supported(256, 129, 12.)  # labels past one lane tile
+    assert not sparse_supported(256, 0, 12.0)   # no label channels
+    # halo: smallest r >= floor(radius) with (tile + 2r) % 8 == 0
+    assert sparse_halo(12.0, 8) == 12
+    assert sparse_halo(5.0, 8) == 8
+    assert sparse_halo(5.9, 16) == 8
+    assert sparse_halo(4.0, 8) == 4
+
+
+def test_sparse_odd_radius_matches_blocked():
+    """Radii whose floor is not a multiple of 4 (sweep values like R=5/10)
+    run through an over-padded DMA halo with the exact disk mask — parity
+    with the XLA path must hold through the autoregressive scan."""
+    H, W = 13, 10
+    n_context, N_targets, C, n_lbl = 3, 5, 8, 4
+    feats, labels0 = _setup(4, n_context, N_targets, C, H, W, n_lbl)
+    key_indices = context_index_bank(n_context, [0], N_targets)
+    for radius in (5.0, 2.0):
+        kw = dict(n_context=n_context, n_long=1, topk=4, temperature=0.07,
+                  radius=radius)
+        want = np.asarray(propagate_labels(
+            jnp.asarray(feats), jnp.asarray(labels0),
+            jnp.asarray(key_indices), backend="xla", **kw))
+        got = np.asarray(propagate_labels(
+            jnp.asarray(feats), jnp.asarray(labels0),
+            jnp.asarray(key_indices), backend="sparse_interpret", **kw))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
 def test_sparse_first_target_is_ground_truth():

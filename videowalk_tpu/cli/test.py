@@ -202,9 +202,10 @@ def test(loader, model, variables, args):
             # sparse = the block-sparse Pallas kernel (ops/prop_sparse_
             # kernel.py), measured 14.3 ms/target at DAVIS 480p on v5e vs
             # 41.7 for the round-2 tiled XLA path (2.9x; both HIGHEST-
-            # precision affinities). Shapes the kernel's DMA tiling cannot
-            # express (odd radii, >128 label channels) fall back to tiled;
-            # XLA blocked on CPU.
+            # precision affinities). Any radius works (the DMA halo
+            # self-aligns); shapes the kernel's tiling cannot express
+            # (non-128-aligned channels, >128 label channels) fall back
+            # to tiled; XLA blocked on CPU.
             from videowalk_tpu.ops.prop_sparse_kernel import sparse_supported
 
             if jax.default_backend() == "tpu":

@@ -449,12 +449,12 @@ def _propagate_labels_sparse(feats, labels0, key_indices, *, n_context,
     windows are static strided slices; the scan carries the padded buffer."""
     from videowalk_tpu.ops.prop_sparse_kernel import (long_rows_for_sparse,
                                                       pad_for_sparse,
+                                                      sparse_halo,
                                                       sparse_topk_propagate)
 
     N, C, H, W = feats.shape
     HW = H * W
     n_lbl = labels0.shape[-1]
-    r = int(np.floor(radius))
     # Query tile side: 16 quadruples the affinity matmuls' M (fills the
     # MXU's 128 rows) and cuts halo read amplification 2.56x, at a 4x-wider
     # candidate scratch; 8 is the measured default. sparse_tile() is the
@@ -463,6 +463,9 @@ def _propagate_labels_sparse(feats, labels0, key_indices, *, n_context,
         from videowalk_tpu.ops.prop_sparse_kernel import sparse_tile
 
         tile = sparse_tile()
+    # DMA halo (>= floor(radius), sublane-aligned); the kernel's disk mask
+    # uses the exact radius, so odd radii stay exact.
+    r = sparse_halo(radius, tile)
     feats_pad = pad_for_sparse(feats.reshape(N, C, HW), radius, H, W,
                                tile=tile)
     # same halo + tile-grid padding as the keys (kernel window slices).

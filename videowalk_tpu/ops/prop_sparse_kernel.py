@@ -231,7 +231,7 @@ def sparse_topk_propagate(query, feats_pad, lbl_pad, klong, llong, idx_row,
     C, HW = query.shape
     assert HW == H * W
     N, Hh, Wh, _ = feats_pad.shape
-    r = int(np.floor(radius))
+    r = sparse_halo(radius, tq)
     assert Hh == _align(H, tq) + 2 * r and Wh == _align(W, tq) + 2 * r, \
         "feats_pad must come from pad_for_sparse with the same tile"
     WIN = tq + 2 * r
@@ -322,28 +322,42 @@ def sparse_tile() -> int:
     return tile
 
 
+def sparse_halo(radius: float, tile: int) -> int:
+    """DMA halo width for a given mask radius: the smallest
+    ``r >= floor(radius)`` whose window ``tile + 2r`` is a multiple of the
+    8-row sublane tile (Mosaic HBM slices). With ``tile % 8 == 0`` that is
+    ``floor(radius)`` rounded up to a multiple of 4 — the extra ring of
+    cells lands outside the exact disk mask (``_kernel`` masks with the
+    TRUE ``radius``), so any radius keeps exact semantics; odd radii just
+    DMA a slightly wider window (e.g. r=5 -> halo 8, 24x24 vs 18x18)."""
+    return _align(max(int(np.floor(radius)), 0), 4)
+
+
 def sparse_supported(C: int, n_lbl: int, radius: float) -> bool:
     """Shape gate for the compiled TPU kernel (interpret mode has no such
-    limits): the halo window is a sublane-dim HBM slice (size must be a
-    multiple of the 8-row tile), feature channels ride the lane dim of the
-    key DMA (must be 128-aligned — true for every encoder in the factory:
-    256/512/1024), and labels pad to one 128-lane tile."""
+    limits): feature channels ride the lane dim of the key DMA (must be
+    128-aligned — true for every encoder in the factory: 256/512/1024),
+    and labels pad to one 128-lane tile. Any radius works — the DMA halo
+    rounds itself up to sublane alignment (``sparse_halo``); ``radius`` is
+    kept in the signature so the gate stays the single call the CLI makes."""
+    del radius
     try:
-        win = sparse_tile() + 2 * int(np.floor(radius))
+        sparse_tile()
     except ValueError:
         return False
-    return win % 8 == 0 and C % 128 == 0 and 1 <= n_lbl <= 128
+    return C % 128 == 0 and 1 <= n_lbl <= 128
 
 
 def pad_for_sparse(feats: jax.Array, radius: float, H: int, W: int,
                    tile: int = TQ) -> jax.Array:
     """(N, C, HW) features -> zero-padded key layout.
 
-    Rows/cols span ``r`` halo + the tile-aligned query grid + ``r`` halo, so
-    the window of the LAST (possibly partial) tile row/column is still an
-    in-bounds static slice: (N, r + ceil(H/tile)*tile + r, same for W, C).
+    Rows/cols span ``r`` halo + the tile-aligned query grid + ``r`` halo
+    (``r = sparse_halo(radius, tile)``), so the window of the LAST
+    (possibly partial) tile row/column is still an in-bounds static slice:
+    (N, r + ceil(H/tile)*tile + r, same for W, C).
     """
-    r = int(np.floor(radius))
+    r = sparse_halo(radius, tile)
     N, C, HW = feats.shape
     Hp, Wp = _align(H, tile), _align(W, tile)
     x = jnp.moveaxis(feats.reshape(N, C, H, W), 1, -1)

@@ -170,6 +170,20 @@ def test_vos_getitem_decodes_each_unique_file_once(filelist, monkeypatch):
     assert imgs.shape[0] == n_frames + args.videoLen
 
 
+def test_vos_threaded_decode_matches_serial(filelist):
+    """--workers > 1 decodes unique frames on a thread pool; every output
+    must be byte-identical to the serial path."""
+    from videowalk_tpu.data import vos
+
+    args = make_args(filelist, "/tmp/unused")
+    args.mapScale = np.array([8, 8])
+    serial = vos.VOSDataset(args)[0]
+    args.workers = 4
+    threaded = vos.VOSDataset(args)[0]
+    for a, b in zip(serial[:5], threaded[:5]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_dump_predictions_outputs_unchanged_by_heatmap_flag(tmp_path):
     """heatmap=False (default) must write byte-identical files to
     heatmap=True — the jet blend is a return value only, never a file."""

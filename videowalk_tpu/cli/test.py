@@ -122,8 +122,6 @@ def warn_inert_flags(args) -> None:
          "ignored"),
         ("batchSize", getattr(args, "batchSize", 1) != 1,
          "evaluation streams one video at a time; ignored"),
-        ("workers", getattr(args, "workers", 4) not in (0, 4),
-         "the eval loader is sequential; ignored"),
     ]
     for name, active, why in checks:
         if active:

@@ -93,6 +93,12 @@ class VOSDataset:
         self.texture = args.texture
         self.round = args.round
         self.use_lab = getattr(args, "use_lab", False)
+        # --workers N > 1: decode a video's unique frames on a thread pool
+        # (cv2 releases the GIL in imread/resize/cvtColor). The reference
+        # gets the same effect from torch DataLoader workers
+        # (code/test.py:57-60); here the pool lives inside __getitem__ so
+        # the CLI's cross-video prefetch thread stays the only consumer.
+        self.workers = int(getattr(args, "workers", 0) or 0)
 
         self.jpgfiles, self.lblfiles = [], []
         with open(self.filelist) as f:
@@ -133,57 +139,59 @@ class VOSDataset:
         # traffic than shipping normalized float32 (the reference normalizes
         # on host, code/data/vos.py:173,214).
         raw_u8 = self.imgSize <= 0 and not self.use_lab
-        # the videoLen prefix repeats frame 0's paths; decode each unique
-        # file once (the reference re-reads frame 0 videoLen+1 times,
-        # ~0.2 s/video at 480p)
-        _dec_cache: dict = {}
 
-        def _read(path):
-            got = _dec_cache.get(path)
-            if got is None:
-                got = _dec_cache[path] = cv2.imread(path)
-            return got
+        def _decode_one(pair):
+            """(img_path, lbl_path) -> (img, img_orig, lblimg)."""
+            ip, lp = pair
+            if raw_u8:
+                bgr = cv2.imread(ip)
+                if bgr is None:
+                    raise IOError(f"cannot read image: {ip}")
+                img = np.ascontiguousarray(bgr[:, :, ::-1])  # uint8 RGB
+                return img, img, cv2.imread(lp)
+            img = load_image(ip)
+            lblimg = cv2.imread(lp)
+            if self.imgSize > 0:
+                # shorter-side resize (reference vos.py:186-202; the
+                # reference's ratio is hardcoded 1.0, i.e. square resize)
+                newh = neww = self.imgSize
+                img = resize_hw(img, newh, neww)
+                lblimg = cv2.resize(lblimg, (neww, newh),
+                                    interpolation=cv2.INTER_NEAREST)
+            img_orig = img
+            if self.use_lab:
+                u8 = (img * 255).astype(np.uint8)[:, :, ::-1]  # RGB->BGR
+                lab = cv2.cvtColor(u8, cv2.COLOR_BGR2LAB)
+                lab = (lab.astype(np.float32) - 128.0) / 128.0
+                img = np.stack([lab[..., 0]] * 3, axis=-1)
+            else:
+                img = ((img - np.asarray(IMAGENET_MEAN, np.float32))
+                       / np.asarray(IMAGENET_STD, np.float32))
+            return img, img_orig, lblimg
+
+        # the videoLen prefix repeats frame 0's paths; decode each unique
+        # frame once (the reference re-reads frame 0 videoLen+1 times,
+        # ~0.2 s/video at 480p), on a thread pool when --workers > 1
+        uniq, seen = [], set()
+        for pair in zip(img_paths, lbl_paths):
+            if pair[0] not in seen:
+                seen.add(pair[0])
+                uniq.append(pair)
+        if self.workers > 1 and len(uniq) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=self.workers) as pool:
+                decoded = list(pool.map(_decode_one, uniq))
+        else:
+            decoded = [_decode_one(pair) for pair in uniq]
+        by_img = {pair[0]: out for pair, out in zip(uniq, decoded)}
 
         imgs, imgs_orig, lbls = [], [], []
         for i in range(frame_num):
-            if raw_u8:
-                key = (img_paths[i], "rgb")
-                img = _dec_cache.get(key)
-                if img is None:
-                    bgr = _read(img_paths[i])
-                    if bgr is None:
-                        raise IOError(f"cannot read image: {img_paths[i]}")
-                    img = _dec_cache[key] = np.ascontiguousarray(
-                        bgr[:, :, ::-1])                 # uint8 RGB
-                imgs.append(img)
-                imgs_orig.append(img)
-                lbls.append(_read(lbl_paths[i]))
-                continue
-            key = (img_paths[i], lbl_paths[i])
-            cached = _dec_cache.get(key)
-            if cached is None:
-                img = load_image(img_paths[i])
-                lblimg = cv2.imread(lbl_paths[i])
-                if self.imgSize > 0:
-                    # shorter-side resize (reference vos.py:186-202; the
-                    # reference's ratio is hardcoded 1.0, i.e. square resize)
-                    newh = neww = self.imgSize
-                    img = resize_hw(img, newh, neww)
-                    lblimg = cv2.resize(lblimg, (neww, newh),
-                                        interpolation=cv2.INTER_NEAREST)
-                img_orig = img
-                if self.use_lab:
-                    u8 = (img * 255).astype(np.uint8)[:, :, ::-1]  # RGB->BGR
-                    lab = cv2.cvtColor(u8, cv2.COLOR_BGR2LAB)
-                    lab = (lab.astype(np.float32) - 128.0) / 128.0
-                    img = np.stack([lab[..., 0]] * 3, axis=-1)
-                else:
-                    img = ((img - np.asarray(IMAGENET_MEAN, np.float32))
-                           / np.asarray(IMAGENET_STD, np.float32))
-                cached = _dec_cache[key] = (img, img_orig, lblimg)
-            imgs.append(cached[0])
-            imgs_orig.append(cached[1])
-            lbls.append(cached[2])
+            img, img_orig, lblimg = by_img[img_paths[i]]
+            imgs.append(img)
+            imgs_orig.append(img_orig)
+            lbls.append(lblimg)
 
         meta = dict(folder_path=folder_path, img_paths=img_paths,
                     lbl_paths=lbl_paths)

@@ -170,6 +170,27 @@ def test_vos_getitem_decodes_each_unique_file_once(filelist, monkeypatch):
     assert imgs.shape[0] == n_frames + args.videoLen
 
 
+def test_onehot_from_lblset_matches_reference_loop():
+    """Packed-uint32 one-hot build == the reference's np.all color-compare
+    loop (code/data/vos.py:241-244), for 3-channel and single-channel sets."""
+    from videowalk_tpu.data.vos import onehot_from_lblset
+
+    rng = np.random.RandomState(0)
+    lblset = np.array([[0, 0, 0], [128, 0, 0], [0, 128, 0]], np.uint8)
+    lbl = lblset[rng.randint(0, 3, (17, 23))]
+    lbl[0, 0] = [7, 8, 9]  # a color outside the set -> all-zero row
+    want = np.stack([np.all(lbl == ll, axis=-1) for ll in lblset], axis=-1)
+    got = onehot_from_lblset(lbl, lblset)
+    assert got.dtype == np.bool_ and np.array_equal(got, want)
+    assert not got[0, 0].any()
+
+    lblset1 = np.arange(4, dtype=np.uint8).reshape(-1, 1)
+    lbl1 = np.repeat(rng.randint(0, 4, (9, 11, 1)), 3, axis=-1).astype(
+        np.uint8)
+    want1 = np.stack([np.all(lbl1 == ll, axis=-1) for ll in lblset1], axis=-1)
+    assert np.array_equal(onehot_from_lblset(lbl1, lblset1), want1)
+
+
 def test_vos_threaded_decode_matches_serial(filelist):
     """--workers > 1 decodes unique frames on a thread pool; every output
     must be byte-identical to the serial path."""

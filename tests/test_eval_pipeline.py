@@ -170,6 +170,28 @@ def test_vos_getitem_decodes_each_unique_file_once(filelist, monkeypatch):
     assert imgs.shape[0] == n_frames + args.videoLen
 
 
+def test_color2id_map_matches_reference_loop():
+    """Packed-palette binary search == the reference's unique-color np.all
+    loop (code/eval/convert_davis.py:36-66), incl. off-palette colors -> 0."""
+    from videowalk_tpu.eval.convert_davis import PALETTE, color2id_map
+
+    def ref_map(lblimg):
+        flat = lblimg.reshape(-1, 3)
+        out = np.zeros(flat.shape[0], np.uint8)
+        for c in np.unique(flat, axis=0):
+            match = np.all(PALETTE == c, axis=-1)
+            if match.any():
+                out[np.all(flat == c, axis=-1)] = int(np.argmax(match))
+        return out.reshape(lblimg.shape[:2])
+
+    rng = np.random.RandomState(0)
+    img = PALETTE[rng.randint(0, 6, (37, 53))].copy()
+    img[5:9, 5:9] = [1, 2, 3]                        # off-palette -> 0
+    assert np.array_equal(color2id_map(img), ref_map(img))
+    img2 = rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)
+    assert np.array_equal(color2id_map(img2), ref_map(img2))
+
+
 def test_onehot_from_lblset_matches_reference_loop():
     """Packed-uint32 one-hot build == the reference's np.all color-compare
     loop (code/data/vos.py:241-244), for 3-channel and single-channel sets."""

@@ -51,6 +51,21 @@ def test_jhmdb_dataset_shapes(jhmdb_root):
     assert lblset.shape == (16, 3)
 
 
+def test_jhmdb_threaded_decode_matches_serial(jhmdb_root):
+    """--workers > 1 decodes unique frames on a thread pool (same contract
+    as VOSDataset); outputs must be byte-identical to the serial path."""
+    from videowalk_tpu.data.jhmdb import JhmdbSet
+    from videowalk_tpu.eval.test_utils import infer_downscale
+
+    root, fl = jhmdb_root
+    kw = dict(filelist=fl, imgSize=-1, videoLen=2,
+              mapScale=infer_downscale(8), texture=False, round=False)
+    serial = JhmdbSet(types.SimpleNamespace(**kw))[0]
+    threaded = JhmdbSet(types.SimpleNamespace(**kw, workers=4))[0]
+    for a, b in zip(serial[:5], threaded[:5]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_jhmdb_full_pipeline_and_pck(jhmdb_root, tmp_path):
     from videowalk_tpu.cli.test import main as test_main
     from videowalk_tpu.eval.eval_pck import compute_pck

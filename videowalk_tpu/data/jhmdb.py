@@ -57,6 +57,7 @@ class JhmdbSet:
         self.texture = args.texture
         self.round = args.round
         self.sigma = sigma
+        self.workers = int(getattr(args, "workers", 0) or 0)
 
         self.jpgfiles, self.lblfiles = [], []
         with open(self.filelist) as f:
@@ -83,21 +84,32 @@ class JhmdbSet:
         img_paths = self.make_paths(folder_path)
         frame_num = len(img_paths)
 
-        imgs, imgs_orig = [], []
-        ht = wd = newh = neww = None
-        for p in img_paths:
+        def _decode_one(p):
             img = load_image(p)
             ht, wd = img.shape[:2]
             if self.imgSize > 0:
-                newh = neww = self.imgSize
-                img = resize_hw(img, newh, neww)
-            else:
-                newh, neww = ht, wd
-            img_orig = img.copy()
-            img = ((img - np.asarray(IMAGENET_MEAN, np.float32))
-                   / np.asarray(IMAGENET_STD, np.float32))
-            imgs.append(img)
-            imgs_orig.append(img_orig)
+                img = resize_hw(img, self.imgSize, self.imgSize)
+            norm = ((img - np.asarray(IMAGENET_MEAN, np.float32))
+                    / np.asarray(IMAGENET_STD, np.float32))
+            return norm, img, (ht, wd)
+
+        # videoLen prefix repeats frame 0's path: decode each unique frame
+        # once, on a thread pool when --workers > 1 (same contract as
+        # VOSDataset; cv2/PIL release the GIL)
+        uniq = list(dict.fromkeys(img_paths))
+        if self.workers > 1 and len(uniq) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=self.workers) as pool:
+                decoded = dict(zip(uniq, pool.map(_decode_one, uniq)))
+        else:
+            decoded = {p: _decode_one(p) for p in uniq}
+        imgs = [decoded[p][0] for p in img_paths]
+        imgs_orig = [decoded[p][1] for p in img_paths]
+        ht, wd = decoded[img_paths[-1]][2]
+        newh = neww = self.imgSize if self.imgSize > 0 else None
+        if newh is None:
+            newh, neww = ht, wd
 
         rsz_h = math.ceil(newh / self.mapScale[0])
         rsz_w = math.ceil(neww / self.mapScale[1])

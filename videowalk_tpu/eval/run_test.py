@@ -49,7 +49,9 @@ def run_one(ckpt: str, L: int, K: int, T: float, R: float, args) -> dict:
          "--save-path", save_path,
          "--topk", str(K), "--videoLen", str(L),
          "--radius", str(R), "--temperature", str(T),
-         "--cropSize", str(args.cropSize)],
+         "--cropSize", str(args.cropSize),
+         "--workers", str(getattr(args, "workers", 4)),
+         "--prop-backend", getattr(args, "prop_backend", "auto")],
         [sys.executable, "-m", "videowalk_tpu.eval.convert_davis",
          "-i", save_path, "-o", masks_path, "-d", args.davis],
         [sys.executable, "-m", "videowalk_tpu.eval.davis_metrics",
@@ -84,6 +86,13 @@ def main(argv=None):
     parser.add_argument("--T", nargs="+", type=float, default=[0.05])
     parser.add_argument("--R", nargs="+", type=float, default=[12.0])
     parser.add_argument("--sbatch", action="store_true")
+    # forwarded to every test.py invocation (TPU extensions; defaults match
+    # the CLI's own defaults)
+    parser.add_argument("--workers", default=4, type=int,
+                        help="threaded frame decode inside each video")
+    parser.add_argument("--prop-backend", default="auto",
+                        choices=["auto", "xla", "tiled", "windowed",
+                                 "sparse", "sparse_interpret"])
     args = parser.parse_args(argv)
 
     ckpts = [newest_model(c) for c in args.checkpoints]

@@ -116,6 +116,38 @@ def test_full_eval_pipeline(filelist, davis_root, tmp_path):
     assert metrics["J-Mean"] > 0.05
 
 
+def test_norm_mask_eval_end_to_end(filelist, tmp_path):
+    """--norm-mask (reference test.py:162-164: per-pixel channel min-max
+    rescale before dumping; the propagation buffer is unaffected) runs the
+    full driver and produces the same artifact set."""
+    from videowalk_tpu.cli.test import main as test_main
+
+    args = make_args(filelist, str(tmp_path / "nm"))
+    args.norm_mask = True
+    test_main(args)
+    assert os.path.exists(str(tmp_path / "nm" / "0_0_mask.png"))
+    assert os.path.exists(str(tmp_path / "nm" / "1_9_blend.jpg"))
+
+
+def test_vos_texture_mode(filelist):
+    """--texture (reference vos.py:77-101, 247-263): frame-0 labels become
+    horizontal stripes, later frames get zero labels, and the label set is
+    rebuilt from the Paired colormap."""
+    from videowalk_tpu.data.vos import VOSDataset
+
+    args = make_args(filelist, "/tmp/unused")
+    args.mapScale = np.array([8, 8])
+    args.texture = True
+    imgs, imgs_orig, lbls_resize, lbls, lblset, meta = VOSDataset(args)[0]
+    n_channels = lbls_resize.shape[-1]       # background + stripes
+    assert lblset.shape == (n_channels + 1, 3)
+    # videoLen copies of the striped frame-0 labels, zeros afterwards
+    v = args.videoLen
+    assert np.array_equal(lbls_resize[0], lbls_resize[v - 1])
+    assert not np.any(lbls_resize[v:])
+    assert np.any(lbls_resize[0][..., 1:])  # stripes actually assigned
+
+
 def test_davis_metrics_perfect_and_empty(davis_root, tmp_path):
     """J&F == 1 when predictions equal ground truth."""
     from videowalk_tpu.eval.davis_metrics import evaluate_sequence

@@ -232,8 +232,14 @@ def test(loader, model, variables, args):
             for t in range(preds.shape[0]):
                 pred = preds[t]
                 if args.norm_mask:
-                    pred -= pred.min(-1, keepdims=True)
-                    pred /= np.maximum(pred.max(-1, keepdims=True), 1e-12)
+                    # out-of-place: preds is a read-only view of the device
+                    # output, and the buffer feeding propagation must stay
+                    # un-normalized (reference test.py:162-164 normalizes
+                    # only the dumped copy; +1e-12 avoids its 0/0 NaN on
+                    # all-zero label rows)
+                    pred = pred - pred.min(-1, keepdims=True)
+                    pred = pred / np.maximum(pred.max(-1, keepdims=True),
+                                             1e-12)
                 frame = imgs_orig[t + n_context]
                 # uint8 frames pass through untouched — dump_predictions
                 # blends in float and writes uint8 either way, and the

@@ -148,6 +148,42 @@ def test_vos_texture_mode(filelist):
     assert np.any(lbls_resize[0][..., 1:])  # stripes actually assigned
 
 
+def test_vos_resize_and_lab_branches(filelist):
+    """imgSize > 0 (square resize, reference vos.py:186-202) and the uvc
+    LAB path (:206-212) through the reworked per-frame decode."""
+    from videowalk_tpu.data.vos import VOSDataset
+
+    args = make_args(filelist, "/tmp/unused")
+    args.mapScale = np.array([8, 8])
+    args.imgSize = 32
+    imgs, imgs_orig, lbls_resize, lbls, lblset, meta = VOSDataset(args)[0]
+    assert imgs.shape == (13, 32, 32, 3) and imgs.dtype == np.float32
+    assert lbls_resize.shape[1:3] == (4, 4)
+
+    args.use_lab = True
+    imgs_lab = VOSDataset(args)[0][0]
+    assert imgs_lab.shape == (13, 32, 32, 3)
+    # LAB mode replicates the L channel into all three (reference :206-212)
+    assert np.array_equal(imgs_lab[..., 0], imgs_lab[..., 1])
+    assert np.abs(imgs_lab).max() <= 1.0 + 1e-6
+    assert not np.array_equal(imgs_lab[0], imgs[0])
+
+
+def test_eval_driver_resize_and_two_long_frames(filelist, tmp_path):
+    """Driver end-to-end with --cropSize > 0 (resize path) and two
+    long-term memory anchors (--long-mem 0 2)."""
+    from videowalk_tpu.cli.test import main as test_main
+
+    args = make_args(filelist, str(tmp_path / "rz"))
+    args.imgSize = 32
+    args.long_mem = [0, 2]
+    test_main(args)
+    assert os.path.exists(str(tmp_path / "rz" / "0_0_mask.png"))
+    assert os.path.exists(str(tmp_path / "rz" / "1_9_mask.png"))
+    m = np.asarray(Image.open(str(tmp_path / "rz" / "0_5_mask.png")))
+    assert m.shape[:2] == (32, 32)
+
+
 def test_davis_metrics_perfect_and_empty(davis_root, tmp_path):
     """J&F == 1 when predictions equal ground truth."""
     from videowalk_tpu.eval.davis_metrics import evaluate_sequence

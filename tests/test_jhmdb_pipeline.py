@@ -99,6 +99,30 @@ def test_jhmdb_full_pipeline_and_pck(jhmdb_root, tmp_path):
     assert vals == sorted(vals)
 
 
+def test_jhmdb_driver_resize_and_pca_vis(jhmdb_root, tmp_path):
+    """Driver end-to-end on JHMDB with --cropSize > 0 (the resize branch of
+    the reworked decode) and --pca-vis (PCA feature PNGs)."""
+    from videowalk_tpu.cli.test import main as test_main
+    from videowalk_tpu.eval.test_utils import infer_downscale
+
+    root, fl = jhmdb_root
+    save = str(tmp_path / "out")
+    args = types.SimpleNamespace(
+        filelist=fl, save_path=save, resume="",
+        model_type="scratch_zeropad", head_depth=-1,
+        remove_layers=["layer4"], no_l2=False,
+        topk=3, videoLen=2, radius=4.0, temperature=0.05,
+        cropSize=32, imgSize=32, long_mem=[0], texture=False, round=False,
+        norm_mask=False, workers=2, batchSize=1, manualSeed=777,
+        finetune=0, pca_vis=True, visdom=False,
+        mapScale=infer_downscale(8))
+    test_main(args)
+    assert os.path.exists(os.path.join(save, "0.dat"))       # keypoints
+    assert os.path.exists(os.path.join(save, "pca", "0_0.png"))
+    assert os.path.exists(os.path.join(save, "0_0_pose.jpg")) or \
+        any(f.startswith("0_0") for f in os.listdir(save))
+
+
 def test_uniform_clip_sampler():
     from videowalk_tpu.data.clips import UniformClipSampler, VideoClipIndex
 

@@ -119,8 +119,10 @@ def test_jhmdb_driver_resize_and_pca_vis(jhmdb_root, tmp_path):
     test_main(args)
     assert os.path.exists(os.path.join(save, "0.dat"))       # keypoints
     assert os.path.exists(os.path.join(save, "pca", "0_0.png"))
-    assert os.path.exists(os.path.join(save, "0_0_pose.jpg")) or \
-        any(f.startswith("0_0") for f in os.listdir(save))
+    assert os.path.exists(os.path.join(save, "0_0_blend.jpg"))
+    # keypoint dump decodes and has the reference layout (2, n_joints, T)
+    kp = np.load(os.path.join(save, "0.dat"), allow_pickle=True)
+    assert kp.ndim == 3 and kp.shape[0] == 2 and kp.shape[1] == 15
 
 
 def test_uniform_clip_sampler():

@@ -193,6 +193,22 @@ def test(loader, model, variables, args):
                                          N - n_context)
         # feature-resolution labels buffer
         labels0 = lbls_resize.astype(np.float32)
+        if args.norm_mask:
+            # Reference quirk (test.py:156-164): at the first target,
+            # `pred = lbls[0]` is a VIEW, so the in-place min-max rescale
+            # mutates the frame-0 labels inside the propagation buffer —
+            # every later target's long-mem context sees the normalized
+            # frame 0 (the videoLen prefix copies at indices 1.. do not).
+            # Normalizing buffer index 0 up front reproduces that (+1e-12
+            # avoids the reference's 0/0 NaN on constant label rows), with
+            # one documented deviation: the reference copies the PRE-norm
+            # frame 0 into the first target's slot before normalizing the
+            # view; here that slot gets the normalized copy (threading a
+            # second frame-0 buffer through every backend isn't worth a
+            # quirk the reference's own scripts never enable).
+            f0 = labels0[0] - labels0[0].min(-1, keepdims=True)
+            labels0 = labels0.copy()
+            labels0[0] = f0 / np.maximum(f0.max(-1, keepdims=True), 1e-12)
 
         t03 = time.time()
         backend = getattr(args, "prop_backend", "auto")
@@ -233,10 +249,11 @@ def test(loader, model, variables, args):
                 pred = preds[t]
                 if args.norm_mask:
                     # out-of-place: preds is a read-only view of the device
-                    # output, and the buffer feeding propagation must stay
-                    # un-normalized (reference test.py:162-164 normalizes
-                    # only the dumped copy; +1e-12 avoids its 0/0 NaN on
-                    # all-zero label rows)
+                    # output. For t>0 the reference also normalizes only
+                    # its dumped copy (test.py:162-164 runs after the
+                    # buffer write); the t==0 buffer aliasing is handled
+                    # above where labels0[0] is pre-normalized. +1e-12
+                    # avoids the reference's 0/0 NaN on constant rows.
                     pred = pred - pred.min(-1, keepdims=True)
                     pred = pred / np.maximum(pred.max(-1, keepdims=True),
                                              1e-12)

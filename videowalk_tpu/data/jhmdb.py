@@ -94,16 +94,11 @@ class JhmdbSet:
             return norm, img, (ht, wd)
 
         # videoLen prefix repeats frame 0's path: decode each unique frame
-        # once, on a thread pool when --workers > 1 (same contract as
-        # VOSDataset; cv2/PIL release the GIL)
-        uniq = list(dict.fromkeys(img_paths))
-        if self.workers > 1 and len(uniq) > 1:
-            from concurrent.futures import ThreadPoolExecutor
+        # once, on a thread pool when --workers > 1 (shared contract with
+        # VOSDataset)
+        from videowalk_tpu.data.decode import decode_unique
 
-            with ThreadPoolExecutor(max_workers=self.workers) as pool:
-                decoded = dict(zip(uniq, pool.map(_decode_one, uniq)))
-        else:
-            decoded = {p: _decode_one(p) for p in uniq}
+        decoded = decode_unique(img_paths, _decode_one, self.workers)
         imgs = [decoded[p][0] for p in img_paths]
         imgs_orig = [decoded[p][1] for p in img_paths]
         ht, wd = decoded[img_paths[-1]][2]

@@ -20,6 +20,8 @@ import os
 
 import numpy as np
 
+from videowalk_tpu.utils.colors import pack_rgb
+
 try:
     import cv2
 except Exception:  # pragma: no cover
@@ -53,10 +55,7 @@ def make_lbl_set(lbls: np.ndarray) -> np.ndarray:
     flat = lbls[0].reshape(-1, lbls.shape[-1]).astype(np.uint8)
     if flat.shape[-1] != 3:
         return np.unique(flat, axis=0)
-    packed = (flat[:, 0].astype(np.uint32) << 16
-              | flat[:, 1].astype(np.uint32) << 8
-              | flat[:, 2].astype(np.uint32))
-    u = np.unique(packed)
+    u = np.unique(pack_rgb(flat))
     return np.stack([(u >> 16) & 0xFF, (u >> 8) & 0xFF, u & 0xFF],
                     axis=-1).astype(np.uint8)
 
@@ -68,14 +67,8 @@ def onehot_from_lblset(lbl: np.ndarray, lblset: np.ndarray) -> np.ndarray:
     plus an ``np.all`` reduction (~4x at 480p); other shapes fall back to
     the reference formulation. Output is boolean, identical either way."""
     if lbl.shape[-1] == 3 and lblset.shape[-1] == 3:
-        l8 = lbl.astype(np.uint8)
-        packed = (l8[..., 0].astype(np.uint32) << 16
-                  | l8[..., 1].astype(np.uint32) << 8
-                  | l8[..., 2].astype(np.uint32))
-        s8 = lblset.astype(np.uint8)
-        skey = (s8[:, 0].astype(np.uint32) << 16
-                | s8[:, 1].astype(np.uint32) << 8
-                | s8[:, 2].astype(np.uint32))
+        packed = pack_rgb(lbl.astype(np.uint8))
+        skey = pack_rgb(lblset.astype(np.uint8))
         return packed[..., None] == skey
     return np.stack([np.all(lbl == ll, axis=-1) for ll in lblset], axis=-1)
 
@@ -191,23 +184,13 @@ class VOSDataset:
         # the videoLen prefix repeats frame 0's paths; decode each unique
         # frame once (the reference re-reads frame 0 videoLen+1 times,
         # ~0.2 s/video at 480p), on a thread pool when --workers > 1
-        uniq, seen = [], set()
-        for pair in zip(img_paths, lbl_paths):
-            if pair[0] not in seen:
-                seen.add(pair[0])
-                uniq.append(pair)
-        if self.workers > 1 and len(uniq) > 1:
-            from concurrent.futures import ThreadPoolExecutor
+        from videowalk_tpu.data.decode import decode_unique
 
-            with ThreadPoolExecutor(max_workers=self.workers) as pool:
-                decoded = list(pool.map(_decode_one, uniq))
-        else:
-            decoded = [_decode_one(pair) for pair in uniq]
-        by_img = {pair[0]: out for pair, out in zip(uniq, decoded)}
-
+        decoded = decode_unique(list(zip(img_paths, lbl_paths)), _decode_one,
+                                self.workers)
         imgs, imgs_orig, lbls = [], [], []
-        for i in range(frame_num):
-            img, img_orig, lblimg = by_img[img_paths[i]]
+        for pair in zip(img_paths, lbl_paths):
+            img, img_orig, lblimg = decoded[pair]
             imgs.append(img)
             imgs_orig.append(img_orig)
             lbls.append(lblimg)
@@ -223,14 +206,15 @@ class VOSDataset:
         rsz_h = math.ceil(imgs[0].shape[0] / self.mapScale[0])
         rsz_w = math.ceil(imgs[0].shape[1] / self.mapScale[1])
 
-        onehots, resizes = [], []
+        # only the resized one-hots are consumed downstream (the reference
+        # also builds a full-res `onehots` list it never returns,
+        # code/data/vos.py:242-289 — dropped here)
+        resizes = []
         _lbl_cache: dict = {}
         for i, p in enumerate(lbl_paths):
             cached = _lbl_cache.get(p)
             if cached is not None:  # videoLen prefix repeats frame 0's label
-                onehot, resized = cached
-                resizes.append(resized)
-                onehots.append(onehot)
+                resizes.append(cached)
                 continue
             prefix = os.path.splitext(p)[0]
             oh_path = f"{prefix}_onehot.npy"
@@ -250,7 +234,7 @@ class VOSDataset:
                     np.save(rz_path, resized)
                 except OSError:
                     pass
-            _lbl_cache[p] = (onehot, resized)
+            _lbl_cache[p] = resized
             if self.texture:
                 texturized = texturize(resized)
                 resizes.append(texturized)
@@ -261,7 +245,6 @@ class VOSDataset:
                                    for i in range(texturized.shape[-1])]) * 255.0
                 break
             resizes.append(resized)
-            onehots.append(onehot)
 
         if self.texture:
             resizes = resizes * self.videoLen

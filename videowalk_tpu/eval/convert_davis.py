@@ -24,19 +24,14 @@ except Exception:  # pragma: no cover
     cv2 = Image = None
 
 from videowalk_tpu.eval import palette as palette_mod
+from videowalk_tpu.utils.colors import pack_rgb
 
 PALETTE = palette_mod.tensor.astype(np.uint8)
 
 
-def _pack(rgb: np.ndarray) -> np.ndarray:
-    """(..., 3) uint8 -> (...) uint32, channel 0 most significant."""
-    r = rgb.astype(np.uint32)
-    return r[..., 0] << 16 | r[..., 1] << 8 | r[..., 2]
-
-
 # The 256 VOC palette colors are distinct, so packed lookup is a bijection;
 # sorted order + searchsorted gives O(HW log 256) per frame.
-_PAL_PACKED = _pack(PALETTE)
+_PAL_PACKED = pack_rgb(PALETTE)
 _PAL_ORDER = np.argsort(_PAL_PACKED)
 _PAL_SORTED = _PAL_PACKED[_PAL_ORDER]
 
@@ -48,8 +43,8 @@ def color2id_map(lblimg: np.ndarray) -> np.ndarray:
     ``np.all`` compares; packing each pixel into one uint32 and binary-
     searching the (distinct) packed palette is exact and ~40x faster at
     480p. Colors outside the palette map to 0, as in the reference."""
-    packed = _pack(lblimg.reshape(-1, 3))
-    pos = np.searchsorted(_PAL_SORTED, packed).clip(0, 255)
+    packed = pack_rgb(lblimg.reshape(-1, 3))
+    pos = np.searchsorted(_PAL_SORTED, packed).clip(0, len(_PAL_SORTED) - 1)
     cand = _PAL_ORDER[pos]
     out = np.where(_PAL_PACKED[cand] == packed, cand, 0).astype(np.uint8)
     return out.reshape(lblimg.shape[:2])

@@ -325,11 +325,14 @@ def sparse_tile() -> int:
 def sparse_halo(radius: float, tile: int) -> int:
     """DMA halo width for a given mask radius: the smallest
     ``r >= floor(radius)`` whose window ``tile + 2r`` is a multiple of the
-    8-row sublane tile (Mosaic HBM slices). With ``tile % 8 == 0`` that is
-    ``floor(radius)`` rounded up to a multiple of 4 — the extra ring of
-    cells lands outside the exact disk mask (``_kernel`` masks with the
-    TRUE ``radius``), so any radius keeps exact semantics; odd radii just
-    DMA a slightly wider window (e.g. r=5 -> halo 8, 24x24 vs 18x18)."""
+    8-row sublane tile (Mosaic HBM slices). ``tile`` must itself be a
+    multiple of 8 (enforced here and by ``sparse_tile``), which reduces the
+    condition to ``r % 4 == 0`` — the extra ring of cells lands outside the
+    exact disk mask (``_kernel`` masks with the TRUE ``radius``), so any
+    radius keeps exact semantics; odd radii just DMA a slightly wider
+    window (e.g. r=5 -> halo 8, 24x24 vs 18x18)."""
+    if tile <= 0 or tile % 8:
+        raise ValueError(f"tile={tile} must be a positive multiple of 8")
     return _align(max(int(np.floor(radius)), 0), 4)
 
 

@@ -184,6 +184,29 @@ def test_eval_driver_resize_and_two_long_frames(filelist, tmp_path):
     assert m.shape[:2] == (32, 32)
 
 
+def test_eval_data_parallel_matches_single_device(filelist, tmp_path):
+    """--data-parallel shards the per-frame encoder forward over the
+    8-device CPU mesh; dumped masks must be identical to single-device."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    from videowalk_tpu.cli.test import main as test_main
+
+    single, mesh = str(tmp_path / "single"), str(tmp_path / "mesh")
+    a = make_args(filelist, single)
+    test_main(a)
+    b = make_args(filelist, mesh)
+    b.data_parallel = True
+    test_main(b)
+    for f in sorted(os.listdir(single)):
+        if f.endswith("_mask.png"):
+            pa = np.asarray(Image.open(os.path.join(single, f)))
+            pb = np.asarray(Image.open(os.path.join(mesh, f)))
+            assert np.array_equal(pa, pb), f
+    assert any(f.endswith("_mask.png") for f in os.listdir(mesh))
+
+
 def test_davis_metrics_perfect_and_empty(davis_root, tmp_path):
     """J&F == 1 when predictions equal ground truth."""
     from videowalk_tpu.eval.davis_metrics import evaluate_sequence

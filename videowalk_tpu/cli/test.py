@@ -64,18 +64,30 @@ def _encode_batch(model, v, x, normalize=False):
 
 
 def encode_video(model, variables, imgs: np.ndarray, batch_size: int = 5,
-                 l2: bool = True) -> jnp.ndarray:
+                 l2: bool = True, mesh=None) -> jnp.ndarray:
     """Per-frame encoder features, minibatched (reference test.py:84-93).
 
     Args:
       imgs: (N, H, W, 3) frames — normalized float32, or raw uint8 (then
         normalization happens on device inside the encode jit).
+      mesh: optional ``jax.sharding.Mesh`` — the per-frame forward is
+        embarrassingly parallel, so --data-parallel shards each minibatch
+        over the mesh's data axis (the chunk grows to
+        ``batch_size * n_devices``; no collectives are needed and XLA
+        compiles the same program SPMD). The reference is single-GPU here.
     Returns:
       (N, C, H', W') L2-normalized features.
     """
     feats = []
     N = imgs.shape[0]
     normalize = imgs.dtype == np.uint8
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        batch_size *= mesh.devices.size
+        # frames ride the (1, T, H, W, 3) time axis into the encode jit
+        # (From3D folds T into batch); shard that axis over the mesh
+        frame_sharding = NamedSharding(mesh, PartitionSpec(None, "data"))
     # fixed minibatch with padding: one compile for all videos; chunks stay
     # on device (no host round-trips — the reference offloads each chunk to
     # CPU, code/test.py:89, which costs dearly through a remote tunnel)
@@ -85,7 +97,9 @@ def encode_video(model, variables, imgs: np.ndarray, batch_size: int = 5,
         if pad:
             chunk = np.concatenate(
                 [chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
-        m = _encode_batch(model, variables, jnp.asarray(chunk)[None],
+        dev_chunk = (jax.device_put(chunk[None], frame_sharding)
+                     if mesh is not None else jnp.asarray(chunk)[None])
+        m = _encode_batch(model, variables, dev_chunk,
                           normalize=normalize)[0]
         feats.append(m[:batch_size - pad] if pad else m)
     feats = jnp.concatenate(feats)[:N]           # (N, H', W', C)
@@ -173,6 +187,15 @@ def _prefetch_iter(gen, depth: int = 1):
 def test(loader, model, variables, args):
     n_context = args.videoLen
 
+    mesh = None
+    if getattr(args, "data_parallel", False) and len(jax.devices()) > 1:
+        from videowalk_tpu.parallel import make_mesh, replicate
+
+        mesh = make_mesh()
+        variables = replicate(variables, mesh)
+        print(f"eval data-parallel over {mesh.devices.size} devices",
+              flush=True)
+
     for vid_idx, (imgs, imgs_orig, lbls_resize, lbls_orig, lbl_map, meta) \
             in enumerate(_prefetch_iter(loader)):
         t_vid = time.time()
@@ -180,7 +203,8 @@ def test(loader, model, variables, args):
         print(f"******* Vid {vid_idx} ({N} frames) *******", flush=True)
         t00 = time.time()
 
-        feats = encode_video(model, variables, imgs, l2=not args.no_l2)
+        feats = encode_video(model, variables, imgs, l2=not args.no_l2,
+                             mesh=mesh)
         print("computed features", time.time() - t00, flush=True)
 
         if getattr(args, "pca_vis", False):

@@ -77,6 +77,11 @@ def test_args(argv=None):
     parser.add_argument("--prop-backend", default="auto", type=str,
                         choices=["auto", "xla", "tiled", "windowed",
                                  "sparse", "sparse_interpret"])
+    # TPU extension: shard the per-frame encoder forward over all local
+    # devices (embarrassingly parallel; the reference evaluates on one GPU)
+    parser.add_argument("--data-parallel", dest="data_parallel",
+                        action="store_true",
+                        help="shard eval encoding over all local TPU devices")
 
     args = parser.parse_args(argv)
     args.device = "tpu"

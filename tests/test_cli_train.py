@@ -120,6 +120,21 @@ def test_train_main_image_folder(image_folder_dir, tmp_path):
     assert int(state.step) == 2
 
 
+def test_train_profile_dir_writes_trace(kinetics_dir, tmp_path):
+    """--profile-dir traces steps 5-9 (SURVEY §5 tracing plan); an epoch
+    ending before step 10 must still flush the trace (no dangling
+    profiler)."""
+    from videowalk_tpu.cli.train import main
+
+    prof = os.path.join(str(tmp_path), "trace")
+    args = make_args(kinetics_dir, tmp_path,
+                     **{"--steps-per-epoch": ["7"],
+                        "--profile-dir": [prof]})
+    main(args)
+    traced = [os.path.join(r, f) for r, _, fs in os.walk(prof) for f in fs]
+    assert traced, "profiler trace directory is empty"
+
+
 @pytest.mark.slow
 def test_teacher_student_cli_end_to_end(kinetics_dir, tmp_path, monkeypatch):
     """Full distillation flow through the CLI (VERDICT round-1 next #8):

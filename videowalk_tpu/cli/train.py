@@ -223,6 +223,10 @@ def train_one_epoch(args, models, steps, state, data_loader, epoch, mesh,
         if checkpoint_fn is not None and host_rng.random_sample() < 0.005:
             checkpoint_fn(state, epoch)
 
+    if profiling:
+        # the epoch ended before step 10 — flush the trace instead of
+        # leaving the profiler running (unflushed traces are unreadable)
+        jax.profiler.stop_trace()
     if checkpoint_fn is not None:
         checkpoint_fn(state, epoch)
     return state

@@ -120,6 +120,21 @@ def test_train_main_image_folder(image_folder_dir, tmp_path):
     assert int(state.step) == 2
 
 
+def test_train_debug_nans_runs_clean(kinetics_dir, tmp_path):
+    """--debug-nans (the reference's set_detect_anomaly analogue) must let
+    a healthy run finish — NaN-checking every primitive, erroring on none."""
+    import jax
+
+    from videowalk_tpu.cli.train import main
+
+    args = make_args(kinetics_dir, tmp_path, **{"--debug-nans": None})
+    try:
+        state = main(args)
+        assert int(state.step) == 2
+    finally:
+        jax.config.update("jax_debug_nans", False)
+
+
 def test_train_profile_dir_writes_trace(kinetics_dir, tmp_path):
     """--profile-dir traces steps 5-9 (SURVEY §5 tracing plan); an epoch
     ending before step 10 must still flush the trace (no dangling

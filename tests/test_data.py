@@ -204,6 +204,36 @@ def test_kinetics_dataset_end_to_end(video_dir):
     assert masks_b.shape == (2, 4, 64, 64)
 
 
+def test_dataset_draws_are_worker_count_independent(video_dir):
+    """Items use deterministic per-item rng streams, so augmentation and
+    superpixel draws are identical for any worker count (one shared
+    RandomState across loader threads was neither thread-safe nor
+    schedule-independent), and repeated reads of the same index agree."""
+    def build():
+        tf = TrainTransform(img_size=64, frame_aug="grid",
+                            patch_size=(16, 16, 3),
+                            rng=np.random.RandomState(0))
+        return Kinetics400(video_dir, frames_per_clip=4, frame_rate=8.0,
+                           transform=tf, sp_method="slic", num_components=8,
+                           prob=0.5, sp_backend="host", seed=7)
+
+    ds = build()
+    v1, m1, _ = ds[1]
+    v2, m2, _ = ds[1]
+    assert np.array_equal(v1["grid"], v2["grid"])
+    assert np.array_equal(m1, m2)
+
+    def batches(workers):
+        loader = DataLoader(build(), batch_size=2, num_workers=workers,
+                            drop_last=True)
+        return list(loader)
+
+    for (va, ma, la), (vb, mb, lb) in zip(batches(1), batches(4)):
+        assert np.array_equal(va["grid"], vb["grid"])
+        assert np.array_equal(va["whole"], vb["whole"])
+        assert np.array_equal(ma, mb) and np.array_equal(la, lb)
+
+
 def test_dataloader_propagates_worker_failure():
     """A dataset item that raises must surface in the consumer at the
     equivalent position — the consumer previously hung forever on a queue the

@@ -139,94 +139,104 @@ def train_one_epoch(args, models, steps, state, data_loader, epoch, mesh,
     profiling = False
 
     device_augs = getattr(args, "augs_backend", "host") == "device"
+    # independent key streams: folding both by global_step from ONE key with
+    # a constant offset (the old 7919 trick) collides once global_step
+    # passes the offset — fold_in(rng, t) == fold_in(rng, 7919 + (t - 7919))
+    step_rng, aug_rng = jax.random.split(rng)
+    # len(data_loader) once, not per step: the sampler-backed length is an
+    # O(videos) sum, and per-step calls would also tempt a sampler draw
+    total_steps = min(args.steps_per_epoch, len(data_loader))
 
-    for step_i, (views, sp_mask, _label) in enumerate(
-            metric_logger.log_every(data_loader, args.print_freq, header)):
-        if step_i >= args.steps_per_epoch:
-            break
-        if device_augs:
-            # batched on-TPU 3-view transform (ops/augs_device.py) replaces
-            # the host augmentation pipeline entirely
-            from videowalk_tpu.ops.augs_device import train_transform_device
+    try:
+        for step_i, (views, sp_mask, _label) in enumerate(
+                metric_logger.log_every(data_loader, args.print_freq, header)):
+            if step_i >= args.steps_per_epoch:
+                break
+            if device_augs:
+                # batched on-TPU 3-view transform (ops/augs_device.py) replaces
+                # the host augmentation pipeline entirely
+                from videowalk_tpu.ops.augs_device import train_transform_device
 
-            views = train_transform_device(
-                jax.random.fold_in(rng, 7919 + global_step),
-                jnp.asarray(views["raw"]),
-                img_size=args.img_size,
-                patch_size=int(args.patch_size[0]),
-                frame_aug=args.frame_aug or "",
-                frame_transforms=args.frame_transforms)
-        # jax.profiler trace of steps 5..9 (TPU analogue of the reference's
-        # wall-clock + max-mem telemetry; SURVEY.md §5 tracing plan)
-        if profile_dir and epoch == 0 and step_i == 5 and not profiling:
-            jax.profiler.start_trace(profile_dir)
-            profiling = True
-        if profiling and step_i == 10:
-            jax.profiler.stop_trace()
-            profiling = False
-        # patch vs superpixel Bernoulli (reference train.py:54)
-        grid = bool(host_rng.choice([True, False],
-                                    p=[args.prob, 1 - args.prob]))
-        key = jax.random.fold_in(rng, global_step)
+                views = train_transform_device(
+                    jax.random.fold_in(aug_rng, global_step),
+                    jnp.asarray(views["raw"]),
+                    img_size=args.img_size,
+                    patch_size=int(args.patch_size[0]),
+                    frame_aug=args.frame_aug or "",
+                    frame_transforms=args.frame_transforms)
+            # jax.profiler trace of steps 5..9 (TPU analogue of the reference's
+            # wall-clock + max-mem telemetry; SURVEY.md §5 tracing plan)
+            if profile_dir and epoch == 0 and step_i == 5 and not profiling:
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
+            if profiling and step_i == 10:
+                jax.profiler.stop_trace()
+                profiling = False
+            # patch vs superpixel Bernoulli (reference train.py:54)
+            grid = bool(host_rng.choice([True, False],
+                                        p=[args.prob, 1 - args.prob]))
+            key = jax.random.fold_in(step_rng, global_step)
 
-        if grid or args.teacher_student:
-            batch = jnp.asarray(views["grid"])
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
-            state, metrics = steps["patch"](state, batch, key)
-            n_clips = views["grid"].shape[0]
-        else:
-            video = jnp.asarray(views["whole"])
-            if args.sp_backend == "device":
-                unnorm = jnp.asarray(views["whole_unnorm"])
-                mask = device_slic_fn(unnorm, host_rng)
+            if grid or args.teacher_student:
+                batch = jnp.asarray(views["grid"])
+                if mesh is not None:
+                    batch = shard_batch(batch, mesh)
+                state, metrics = steps["patch"](state, batch, key)
+                n_clips = views["grid"].shape[0]
             else:
-                mask = jnp.asarray(sp_mask)
-            if mesh is not None:
-                video = shard_batch(video, mesh)
-                mask = shard_batch(mask, mesh)
-            state, metrics = steps["superpixel"](state, video, key, mask)
-            n_clips = views["whole"].shape[0]
+                video = jnp.asarray(views["whole"])
+                if args.sp_backend == "device":
+                    unnorm = jnp.asarray(views["whole_unnorm"])
+                    mask = device_slic_fn(unnorm, host_rng)
+                else:
+                    mask = jnp.asarray(sp_mask)
+                if mesh is not None:
+                    video = shard_batch(video, mesh)
+                    mask = shard_batch(mask, mesh)
+                state, metrics = steps["superpixel"](state, video, key, mask)
+                n_clips = views["whole"].shape[0]
 
-        global_step += 1
-        window_clips += n_clips
+            global_step += 1
+            window_clips += n_clips
 
-        if vis is not None:
-            # per-step loss + walk diagnostics (reference train.py:71-73).
-            # Opt-in: logging forces a per-step fetch, like the reference's
-            # per-step wandb calls.
-            vis.log(dict(loss=float(metrics["loss"])))
-            vis.log({k: float(np.asarray(v).mean())
-                     for k, v in metrics.items() if k != "loss"})
+            if vis is not None:
+                # per-step loss + walk diagnostics (reference train.py:71-73).
+                # Opt-in: logging forces a per-step fetch, like the reference's
+                # per-step wandb calls.
+                vis.log(dict(loss=float(metrics["loss"])))
+                vis.log({k: float(np.asarray(v).mean())
+                         for k, v in metrics.items() if k != "loss"})
 
-        last = step_i + 1 >= min(args.steps_per_epoch, len(data_loader))
-        if step_i % fetch_every == 0 or last:
-            loss = float(metrics["loss"])  # blocks through this step
-            if not np.isfinite(loss):
-                # Always-on analogue of the reference's global anomaly mode
-                # (code/train.py:27): a NaN/Inf loss aborts at the next
-                # print-freq fetch instead of silently corrupting the run.
-                where = args.output_dir or "<no --output-dir>"
-                raise FloatingPointError(
-                    f"non-finite loss {loss} at epoch {epoch} step {step_i} "
-                    f"(global step {global_step}). Re-run with --debug-nans "
-                    f"to locate the producing op, or lower --lr / raise "
-                    f"--temp; the last checkpoint in {where} is intact.")
-            lr = float(multistep_lr(args.lr, steps["milestones"],
-                                    args.lr_gamma)(global_step))
-            metric_logger.update(loss=loss, lr=lr)
-            metric_logger.meters["clips/s"].update(
-                window_clips / max(time.time() - window_t0, 1e-9))
-            window_clips, window_t0 = 0, time.time()
+            last = step_i + 1 >= total_steps
+            if step_i % fetch_every == 0 or last:
+                loss = float(metrics["loss"])  # blocks through this step
+                if not np.isfinite(loss):
+                    # Always-on analogue of the reference's global anomaly mode
+                    # (code/train.py:27): a NaN/Inf loss aborts at the next
+                    # print-freq fetch instead of silently corrupting the run.
+                    where = args.output_dir or "<no --output-dir>"
+                    raise FloatingPointError(
+                        f"non-finite loss {loss} at epoch {epoch} step {step_i} "
+                        f"(global step {global_step}). Re-run with --debug-nans "
+                        f"to locate the producing op, or lower --lr / raise "
+                        f"--temp; the last checkpoint in {where} is intact.")
+                lr = float(multistep_lr(args.lr, steps["milestones"],
+                                        args.lr_gamma)(global_step))
+                metric_logger.update(loss=loss, lr=lr)
+                metric_logger.meters["clips/s"].update(
+                    window_clips / max(time.time() - window_t0, 1e-9))
+                window_clips, window_t0 = 0, time.time()
 
-        # stochastic checkpointing (reference train.py:76-77)
-        if checkpoint_fn is not None and host_rng.random_sample() < 0.005:
-            checkpoint_fn(state, epoch)
+            # stochastic checkpointing (reference train.py:76-77)
+            if checkpoint_fn is not None and host_rng.random_sample() < 0.005:
+                checkpoint_fn(state, epoch)
 
-    if profiling:
-        # the epoch ended before step 10 — flush the trace instead of
-        # leaving the profiler running (unflushed traces are unreadable)
-        jax.profiler.stop_trace()
+    finally:
+        if profiling:
+            # flush on every exit path — epoch shorter than 10 steps, a
+            # loader/step exception, or the finite-loss abort — else the
+            # trace is left running and unreadable
+            jax.profiler.stop_trace()
     if checkpoint_fn is not None:
         checkpoint_fn(state, epoch)
     return state
@@ -467,7 +477,26 @@ def main(args):
     if getattr(args, "prefetch", 0) > 0:
         from videowalk_tpu.data.prefetch import DevicePrefetcher
 
-        data_loader = DevicePrefetcher(data_loader, args.prefetch)
+        # only the views the step functions actually read transfer to HBM
+        if getattr(args, "augs_backend", "host") == "device":
+            keys = {"raw"}
+        else:
+            keys = set()
+            if args.teacher_student or args.prob > 0:
+                keys.add("grid")
+            if args.prob < 1 and not args.teacher_student:
+                keys.add("whole")
+                if args.sp_backend == "device":
+                    keys.add("whole_unnorm")
+        sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            # put straight to the mesh layout: one H2D per shard, no
+            # device-0 staging + reshard (shard_batch later is a no-op)
+            sharding = NamedSharding(mesh, PartitionSpec("data"))
+        data_loader = DevicePrefetcher(data_loader, args.prefetch,
+                                       keys=keys, sharding=sharding)
 
     print("Start training", end="\n" + "-" * 100 + "\n")
     start_time = time.time()

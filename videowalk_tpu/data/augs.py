@@ -163,9 +163,8 @@ class TrainTransform:
         self.patch_size = patch_size
         self.rng = rng or np.random.RandomState()
 
-    def _frame(self, img: np.ndarray) -> np.ndarray:
+    def _frame(self, img: np.ndarray, rng) -> np.ndarray:
         """Per-frame base transform: crop/cj/flip -> float [0,1] SxS."""
-        rng = self.rng
         img = img.astype(np.float32) / 255.0 if img.dtype == np.uint8 else img
         fts = self.frame_transforms
         if "crop" in fts:
@@ -179,18 +178,22 @@ class TrainTransform:
             img = img[:, ::-1]
         return np.ascontiguousarray(img, np.float32)
 
-    def __call__(self, vid: np.ndarray) -> dict[str, np.ndarray]:
-        frames = [self._frame(v) for v in vid]
+    def __call__(self, vid: np.ndarray, rng=None) -> dict[str, np.ndarray]:
+        # per-call rng: the threaded DataLoader runs __getitem__ concurrently
+        # and numpy RandomState is not thread-safe — datasets pass a
+        # deterministic per-item stream (worker-count-independent draws)
+        rng = self.rng if rng is None else rng
+        frames = [self._frame(v, rng) for v in vid]
         whole_unnorm = np.stack(frames)
         whole = normalize(whole_unnorm)
         if "grid" in self.frame_aug:
             grids = []
             for f in frames:
-                g = patch_grid(self.rng, f, self.patch_size)
+                g = patch_grid(rng, f, self.patch_size)
                 if "cj" in self.frame_aug:
-                    g = np.stack([color_jitter(self.rng, p) for p in g])
+                    g = np.stack([color_jitter(rng, p) for p in g])
                 if "flip" in self.frame_aug:
-                    g = np.stack([p[:, ::-1] if self.rng.random_sample() < 0.5
+                    g = np.stack([p[:, ::-1] if rng.random_sample() < 0.5
                                   else p for p in g])
                 grids.append(normalize(g))
             grid = np.stack(grids)
@@ -211,7 +214,8 @@ class RawClipTransform:
         # keep some margin so the device RandomResizedCrop still has room
         self.size = int(img_size * decode_margin)
 
-    def __call__(self, vid: np.ndarray) -> dict[str, np.ndarray]:
+    def __call__(self, vid: np.ndarray, rng=None) -> dict[str, np.ndarray]:
+        del rng  # deterministic; accepted for the shared transform contract
         out = np.stack([
             cv2.resize(v, (self.size, self.size),
                        interpolation=cv2.INTER_LINEAR) for v in vid])

@@ -82,7 +82,11 @@ class ImageFolder:
         self.randomise_superpixels_range = randomise_superpixels_range
         self.sp_backend = sp_backend
         self.compactness = 200.0
-        self.rng = np.random.RandomState(seed)
+        # per-item rng streams in __getitem__ (thread-safe under the
+        # concurrent loader; see data/kinetics.py)
+        self.base_seed = (int(seed) if seed is not None
+                          else int(np.random.SeedSequence().entropy
+                                   % (2 ** 31)))
 
         self.classes = sorted(
             d for d in os.listdir(root)
@@ -112,15 +116,17 @@ class ImageFolder:
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         clip = np.stack([img] * self.clip_len)          # (T, H, W, 3) uint8
 
-        views = self.transform(clip) if self.transform is not None else {
-            "grid": clip, "whole": clip, "whole_unnorm": clip}
+        rng = np.random.RandomState([self.base_seed, int(idx)])
+        views = (self.transform(clip, rng=rng)
+                 if self.transform is not None else
+                 {"grid": clip, "whole": clip, "whole_unnorm": clip})
 
         if self.sp_method != "none" and self.sp_backend == "host":
             mask3 = compute_mask(
                 views["whole_unnorm"], self.sp_method, self.num_components,
                 self.prob, self.randomise_superpixels,
                 self.randomise_superpixels_range, self.compactness,
-                rng=self.rng)
+                rng=rng)
             sp_mask = mask3[:, 0].astype(np.int32)
         else:
             sp_mask = np.zeros((0,), np.int32)

@@ -45,7 +45,11 @@ class Kinetics400:
         frames_per_clip: int,
         step_between_clips: int = 1,
         frame_rate: float | None = None,
-        extensions=("mp4",),
+        extensions=VIDEO_EXTENSIONS,  # reference pins ('mp4',)
+                                      # (code/train.py:168); accepting the
+                                      # module's advertised list avoids
+                                      # silent empty datasets on avi/webm
+                                      # mirrors
         transform=None,
         _precomputed_metadata: dict | None = None,
         sp_method: str = "slic",
@@ -71,7 +75,13 @@ class Kinetics400:
         self.randomise_superpixels_range = randomise_superpixels_range
         self.sp_backend = sp_backend
         self.compactness = 100
-        self.rng = np.random.RandomState(seed)
+        # per-ITEM rng streams (see __getitem__): the threaded DataLoader
+        # calls __getitem__ concurrently, and one shared RandomState is not
+        # thread-safe (corrupted/duplicated draws). A fresh base is drawn
+        # when no seed is given so distinct unseeded datasets still differ.
+        self.base_seed = (int(seed) if seed is not None
+                          else int(np.random.SeedSequence().entropy
+                                   % (2 ** 31)))
 
     def __len__(self):
         return self.video_clips.num_clips()
@@ -84,6 +94,14 @@ class Kinetics400:
         return self.compactness
 
     def __getitem__(self, idx: int):
+        # deterministic per-item stream: thread-safe under the concurrent
+        # loader AND worker-count-independent (the reference's per-process
+        # DataLoader RNGs make draws depend on the worker schedule)
+        rng = np.random.RandomState([self.base_seed, int(idx)])
+        if len(self) == 0:
+            raise RuntimeError(
+                f"dataset at {self.root} contains no clips (no video files "
+                f"matched, or every video is shorter than frames_per_clip)")
         # decode-failure resilience: retry with fresh random index
         # (code/data/kinetics.py:102-112)
         for _ in range(100):
@@ -92,14 +110,15 @@ class Kinetics400:
                 break
             except Exception as e:  # noqa: BLE001 — any decode failure
                 print("skipped idx", idx, "Error:", e, flush=True)
-                idx = int(self.rng.randint(len(self)))
+                idx = int(rng.randint(len(self)))
         else:
             raise RuntimeError("could not decode any clip after 100 retries")
 
         label = self.labels[video_idx]
 
-        views = self.transform(video) if self.transform is not None else {
-            "grid": video, "whole": video, "whole_unnorm": video}
+        views = (self.transform(video, rng=rng)
+                 if self.transform is not None else
+                 {"grid": video, "whole": video, "whole_unnorm": video})
 
         if self.sp_method != "none" and self.sp_backend == "host":
             # host path computes the mask here like the reference worker;
@@ -108,7 +127,7 @@ class Kinetics400:
                 views["whole_unnorm"], self.sp_method, self.num_components,
                 self.prob, self.randomise_superpixels,
                 self.randomise_superpixels_range, self.compactness,
-                rng=self.rng)
+                rng=rng)
             sp_mask = mask3[:, 0].astype(np.int32)     # (T, h, w) dense ids
         else:
             sp_mask = np.zeros((0,), np.int32)          # device path / none

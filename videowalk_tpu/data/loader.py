@@ -50,7 +50,12 @@ class DataLoader:
         return list(range(len(self.dataset)))
 
     def __len__(self):
-        n = len(self._indices()) if self.sampler is not None else len(self.dataset)
+        # len(sampler), never list(iter(sampler)): drawing the sampler here
+        # would be O(dataset) per call AND advance its RNG, so an epoch's
+        # clip selection would depend on how often __len__ was called (the
+        # train loop calls it every step).
+        n = (len(self.sampler) if self.sampler is not None
+             else len(self.dataset))
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator:
@@ -104,3 +109,13 @@ class DataLoader:
                 yield batch
         finally:
             stop.set()
+            # drain so a producer blocked in _put can observe stop, then
+            # join: without the join a new epoch's producer pool would
+            # overlap this one's still-draining decode threads (2x CPU-heavy
+            # workers transiently — thrashing on small hosts)
+            try:
+                while True:
+                    out_q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=30.0)

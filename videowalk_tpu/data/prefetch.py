@@ -23,16 +23,29 @@ from typing import Iterable, Iterator
 import jax
 
 
-def _to_device(item):
-    """device_put every numpy leaf of a (views, sp_mask, label) batch.
+def _to_device(item, keys=None, sharding=None):
+    """device_put the consumed leaves of a (views, sp_mask, label) batch.
 
-    ``label`` is left on host (it is never used by the step functions —
-    reference train.py drops it too, code/train.py:51).
+    ``keys`` restricts which views transfer (None = all): the step functions
+    read only a config-dependent subset ('grid' for the patch path, 'whole'
+    [+ 'whole_unnorm' for device SLIC] for the superpixel path, 'raw' for
+    device augs) — shipping the rest wastes host->HBM bandwidth and holds
+    dead batches in HBM. ``sharding`` device_puts straight to the mesh
+    layout so --data-parallel pays one H2D per shard instead of
+    H2D-to-device-0 then a device-to-device reshard. ``label`` is left on
+    host (never used by the step functions — reference train.py drops it
+    too, code/train.py:51).
     """
     views, sp_mask, label = item
-    views = {k: jax.device_put(v) for k, v in views.items()}
+
+    def put(x):
+        return jax.device_put(x, sharding) if sharding is not None \
+            else jax.device_put(x)
+
+    views = {k: put(v) if keys is None or k in keys else v
+             for k, v in views.items()}
     if sp_mask is not None and getattr(sp_mask, "ndim", 0) > 1:
-        sp_mask = jax.device_put(sp_mask)
+        sp_mask = put(sp_mask)
     return views, sp_mask, label
 
 
@@ -46,11 +59,14 @@ class DevicePrefetcher:
 
     _SENTINEL = object()
 
-    def __init__(self, loader: Iterable, size: int = 2):
+    def __init__(self, loader: Iterable, size: int = 2, keys=None,
+                 sharding=None):
         if size < 1:
             raise ValueError("prefetch size must be >= 1")
         self.loader = loader
         self.size = size
+        self.keys = None if keys is None else frozenset(keys)
+        self.sharding = sharding
 
     def __len__(self):
         return len(self.loader)
@@ -78,7 +94,7 @@ class DevicePrefetcher:
                 for item in self.loader:
                     if stop.is_set():
                         return
-                    if not _put(_to_device(item)):
+                    if not _put(_to_device(item, self.keys, self.sharding)):
                         return
             except BaseException as e:  # re-raise in consumer
                 _put(e)

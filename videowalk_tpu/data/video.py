@@ -30,7 +30,11 @@ class VideoList:
         self.frame_gap = frame_gap
         self.random_clip = random_clip
         self.transform = transform
-        self.rng = np.random.RandomState(seed)
+        # per-item rng streams in __getitem__ (thread-safe under the
+        # concurrent loader; see data/kinetics.py)
+        self.base_seed = (int(seed) if seed is not None
+                          else int(np.random.SeedSequence().entropy
+                                   % (2 ** 31)))
 
         self.jpgfiles, self.fnums = [], []
         with open(filelist) as f:
@@ -52,8 +56,9 @@ class VideoList:
         frame_gap = self.frame_gap
         while fnum - self.clip_len * frame_gap < 0 and frame_gap > 1:
             frame_gap -= 1   # auto-shrink (reference video.py:51-56)
+        rng = np.random.RandomState([self.base_seed, int(index)])
         diffnum = fnum - self.clip_len * frame_gap
-        startframe = int(self.rng.randint(0, max(1, diffnum + 1))) \
+        startframe = int(rng.randint(0, max(1, diffnum + 1))) \
             if self.random_clip else 0
 
         files = sorted(os.listdir(folder_path),
@@ -66,7 +71,7 @@ class VideoList:
         imgs = np.stack(imgs)
 
         if self.transform is not None:
-            imgs = self.transform(imgs)
+            imgs = self.transform(imgs, rng=rng)
         return imgs, 0, 0
 
 
@@ -81,14 +86,18 @@ class SingleVideoDataset:
         self.clip_len = clip_len
         self.fps = fps_range
         self.n_clips = n_clips
-        self.rng = np.random.RandomState(seed)
+        # per-item rng streams (thread-safe under the concurrent loader)
+        self.base_seed = (int(seed) if seed is not None
+                          else int(np.random.SeedSequence().entropy
+                                   % (2 ** 31)))
 
     def __len__(self):
         return self.n_clips
 
     def __getitem__(self, index: int):
+        rng = np.random.RandomState([self.base_seed, int(index)])
         lo, hi = self.fps
-        fps = int(self.rng.randint(lo, max(lo + 1, hi)))
+        fps = int(rng.randint(lo, max(lo + 1, hi)))
         max_start = self.video.shape[0] // fps - self.clip_len
-        idx = int(self.rng.randint(max(1, max_start)))
+        idx = int(rng.randint(max(1, max_start)))
         return self.video[::fps][idx:idx + self.clip_len]

@@ -343,8 +343,16 @@ def main(args):
         print(f"Loaded pretrained {args.model_type} encoder weights from "
               f"{args.pretrained_path}")
 
-    # Teacher weights (reference teacherstudent.py:321-328)
-    if args.teacher_student and os.path.isfile(args.path_to_pretrained):
+    # Teacher weights (reference teacherstudent.py:321-328 — it loads the
+    # file unconditionally and errors loudly if absent; distilling against
+    # a RANDOM frozen teacher completes with plausible-looking losses, so a
+    # silent skip here would produce garbage runs)
+    if args.teacher_student:
+        if not os.path.isfile(args.path_to_pretrained):
+            raise FileNotFoundError(
+                f"--teacher-student needs a pretrained teacher checkpoint; "
+                f"--path-to-pretrained={args.path_to_pretrained!r} is not a "
+                f"file")
         ckpt = load_checkpoint(args.path_to_pretrained)
         tstate = {("teacher." + k): v for k, v in ckpt["model"].items()}
         variables = {"params": state.params, "batch_stats": state.batch_stats}

@@ -382,15 +382,24 @@ class CRW(nn.Module):
 
         key = (self.make_rng("dropout")
                if train and self.cfg.edgedrop_rate > 0 else None)
-        use_fused = (
+        fused_ok = (not self.cfg.flip
+                    and not self.cfg.sk_targets
+                    and not self.cfg.zero_diagonal
+                    and self.cfg.use_zero_softmax
+                    and q.shape[3] <= 128)
+        if self.cfg.fused_walk == "on" and not fused_ok:
+            # 'on' means FORCE (CRWConfig docstring); silently demoting to
+            # the XLA path would make a fused-vs-XLA A/B compare XLA with
+            # itself
+            raise ValueError(
+                "fused_walk='on' is incompatible with this config "
+                "(flip/sk_targets/zero_diagonal/plain-softmax or N > 128 "
+                f"nodes; N={q.shape[3]}); use fused_walk='auto' to let it "
+                "fall back")
+        use_fused = fused_ok and (
             self.cfg.fused_walk == "on"
             or (self.cfg.fused_walk == "auto"
                 and jax.default_backend() == "tpu"))
-        use_fused = (use_fused and not self.cfg.flip
-                     and not self.cfg.sk_targets
-                     and not self.cfg.zero_diagonal
-                     and self.cfg.use_zero_softmax
-                     and q.shape[3] <= 128)
         if self.cfg.sk_targets:
             # Experimental --sk-targets path (usable here, unlike the
             # reference CRW whose attribute is dead; see core/walk.py).

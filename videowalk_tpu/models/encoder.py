@@ -18,6 +18,7 @@ from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import flax.linen as nn
 
 from videowalk_tpu.models.resnet import ResNet, resnet18, resnet50
@@ -69,9 +70,21 @@ class EncoderSpec:
                                           self.pretrained_path)
             # encoder-subtree variables: torch names have no tower prefix,
             # but the flax tree root is the From3D "model" scope
-            variables = partial_load(
+            new_vars = partial_load(
                 {"model." + k: v for k, v in state.items()}, variables,
                 verbose=False)
+            # same nothing-matched guard as apply_pretrained_encoder: a
+            # schema-drifted file that loads zero tensors must not hand the
+            # caller random weights labeled 'pretrained'
+            old = jax.tree_util.tree_leaves(variables)
+            new = jax.tree_util.tree_leaves(new_vars)
+            if all(np.array_equal(np.asarray(a), np.asarray(b))
+                   for a, b in zip(old, new)):
+                raise ValueError(
+                    f"no encoder weights from {self.pretrained_path!r} "
+                    f"matched the {self.model_type!r} trunk (wrong "
+                    f"--model-type / corrupt file?)")
+            variables = new_vars
         return variables
 
 

@@ -64,14 +64,22 @@ class CRWTeacherStudent(nn.Module):
 
     def setup(self):
         assert 0.0 <= self.alpha <= 1.0, "alpha_teacher_student must be in [0, 1]"
+        if self.cfg.sk_targets or self.cfg.zero_diagonal:
+            # inert here as in the reference TS (its forward never reads
+            # them, code/teacherstudent.py:294-580); raising beats training
+            # a different objective than the flags promise
+            raise ValueError(
+                "--sk-targets/--zero-diagonal are not supported by the "
+                "teacher-student model (the reference's TS forward ignores "
+                "them too); drop the flag or train plain CRW")
         spec = make_encoder(self.cfg.model_type, self.cfg.remove_layers,
-                            dtype=self.cfg.dtype)
+                            dtype=self.cfg.dtype, remat=self.cfg.remat)
         self.student_encoder = spec.module
         self.student_head = Head(in_dim=spec.hid_dim,
                                  depth=self.cfg.head_depth,
                                  use_bias=True, name="student_head")
         tspec = make_encoder(self.cfg.model_type, self.cfg.remove_layers,
-                             dtype=self.cfg.dtype)
+                             dtype=self.cfg.dtype, remat=self.cfg.remat)
         self.teacher_encoder = tspec.module
         self.teacher_head = Head(in_dim=tspec.hid_dim,
                                  depth=self.cfg.head_depth,
@@ -96,6 +104,17 @@ class CRWTeacherStudent(nn.Module):
     def __call__(self, x, train: bool = True):
         assert x.ndim == 6, "teacher-student supports the patch path only"
         T = x.shape[1]
+        if T < 3:
+            # no complete palindrome walk exists (same guard as
+            # crw_walk_loss, core/walk.py); a bare T=1/2 trace would index
+            # an empty transition stack
+            q = self._nodes(x, self.student_encoder, self.student_head,
+                            train, featdrop=True)
+            # touch the teacher tower so both towers always initialize
+            self._nodes(x, self.teacher_encoder, self.teacher_head,
+                        False, featdrop=False)
+            zero = jnp.zeros((), q.dtype)
+            return q, zero, {"crw_loss": zero, "ts_loss": zero}
 
         q = self._nodes(x, self.student_encoder, self.student_head,
                         train, featdrop=True)

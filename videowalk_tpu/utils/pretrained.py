@@ -76,8 +76,11 @@ def normalize_moco(ckpt: Mapping) -> dict[str, np.ndarray]:
     """
     state = _unwrap_state_dict(ckpt)
     prefix = "module.encoder_q."
-    return {k[len(prefix):]: _to_numpy(v) for k, v in state.items()
-            if "module.encoder_q" in k}
+    # split on the prefix, not a positional slice: a re-wrapped checkpoint
+    # (e.g. 'model.module.encoder_q.conv1.weight') would otherwise pass the
+    # substring filter but slice to garbage keys
+    return {k.split(prefix, 1)[1]: _to_numpy(v) for k, v in state.items()
+            if prefix in k}
 
 
 def normalize_timecycle(ckpt: Mapping) -> dict[str, np.ndarray]:

@@ -204,6 +204,36 @@ def test_kinetics_dataset_end_to_end(video_dir):
     assert masks_b.shape == (2, 4, 64, 64)
 
 
+def test_decode_frames_seek_matches_sequential(video_dir, monkeypatch):
+    """The CFR-mp4 seek-accuracy contract decode_frames documents: seeked
+    decode == forced sequential skim (VIDEOWALK_SEQ_DECODE=1), exactly."""
+    from videowalk_tpu.data.clips import decode_frames
+    from videowalk_tpu.data.kinetics import find_videos
+
+    paths, _, _ = find_videos(video_dir)
+    idxs = [17, 19, 23]
+    seeked = decode_frames(paths[0], idxs)
+    monkeypatch.setenv("VIDEOWALK_SEQ_DECODE", "1")
+    sequential = decode_frames(paths[0], idxs)
+    assert np.array_equal(seeked, sequential)
+
+
+def test_uniform_clip_sampler_floors_like_torchvision(video_dir):
+    """torchvision floors the linspace positions; a fractional midpoint must
+    pick the EARLIER clip (round() picked the later one)."""
+    from videowalk_tpu.data.clips import UniformClipSampler
+    from videowalk_tpu.data.kinetics import find_videos
+
+    paths, _, _ = find_videos(video_dir)
+    index = VideoClipIndex(paths[:1], frames_per_clip=4,
+                           step_between_clips=3)
+    n = index.num_clips()
+    sampler = UniformClipSampler(index, num_clips_per_video=3)
+    got = list(iter(sampler))
+    want = [int(p) for p in np.floor(np.linspace(0, n - 1, num=3))]
+    assert got == want
+
+
 def test_dataset_draws_are_worker_count_independent(video_dir):
     """Items use deterministic per-item rng streams, so augmentation and
     superpixel draws are identical for any worker count (one shared

@@ -261,6 +261,23 @@ def test_vos_getitem_decodes_each_unique_file_once(filelist, monkeypatch):
     assert imgs.shape[0] == n_frames + args.videoLen
 
 
+def test_davis_metrics_refuses_empty_evaluation(davis_root, tmp_path):
+    """Zero evaluated object tracks must raise, not report a perfect 1.0."""
+    from videowalk_tpu.eval.davis_metrics import evaluate_davis
+
+    empty = tmp_path / "empty_davis"
+    adir = empty / "Annotations" / "480p" / "video0"
+    adir.mkdir(parents=True)
+    for t in range(3):  # blank annotations: no object ids in frame 0
+        blank = Image.fromarray(np.zeros((16, 16), np.uint8))
+        blank.putpalette(PALETTE.ravel())
+        blank.save(str(adir / f"{t:05d}.png"))
+    (empty / "ImageSets" / "2017").mkdir(parents=True)
+    (empty / "ImageSets" / "2017" / "val.txt").write_text("video0\n")
+    with pytest.raises(ValueError, match="no object tracks"):
+        evaluate_davis(str(tmp_path / "nores"), str(empty))
+
+
 def test_color2id_map_matches_reference_loop():
     """Packed-palette binary search == the reference's unique-color np.all
     loop (code/eval/convert_davis.py:36-66), incl. off-palette colors -> 0."""

@@ -137,7 +137,7 @@ def test_windowed_matches_blocked_selection():
     w_b, i_b = topk_affinity_blocked(jnp.asarray(q), jnp.asarray(keys),
                                      mask, 0.05, k, n_long)
     w_r, i_r = topk_affinity_radius(jnp.asarray(q), jnp.asarray(keys),
-                                    None, 0.05, k, n_long, 4.0, H, W)
+                                    0.05, k, n_long, 4.0, H, W)
     np.testing.assert_array_equal(np.asarray(i_b), np.asarray(i_r))
     np.testing.assert_allclose(np.asarray(w_b), np.asarray(w_r),
                                rtol=1e-6, atol=1e-7)

@@ -107,3 +107,28 @@ def test_crw_model_fused_flag():
         q, loss, _ = model.apply(v, x, train=False)
         outs[mode] = float(loss)
     np.testing.assert_allclose(outs["on"], outs["off"], rtol=1e-5)
+
+
+def test_crw_fused_on_rejects_unsupported_configs():
+    """'on' means FORCE: unsupported configs raise instead of silently
+    taking the XLA path (an A/B would compare XLA with itself). T > 10
+    overflows the kernel's one-tile (8, 128) loss buffers; 'auto' falls
+    back gracefully."""
+    from videowalk_tpu.models import CRW, CRWConfig
+
+    rng = np.random.RandomState(0)
+    x11 = jnp.asarray(rng.randn(1, 11, 4, 32, 32, 3).astype(np.float32))
+    x4 = x11[:, :4]
+    cfg_on = CRWConfig(model_type="scratch_zeropad", fused_walk="on")
+    model = CRW(cfg_on)
+    v = model.init(jax.random.PRNGKey(0), x4, train=False)
+    with pytest.raises(ValueError, match="clip_len > 10"):
+        model.apply(v, x11, train=False)
+    with pytest.raises(ValueError, match="fused_walk='on'"):
+        cfg_flip = CRWConfig(model_type="scratch_zeropad",
+                             fused_walk="on", flip=True)
+        CRW(cfg_flip).apply(v, x4, train=False)
+    # 'auto' handles both silently via the XLA path
+    cfg_auto = CRWConfig(model_type="scratch_zeropad", fused_walk="auto")
+    q, loss, _ = CRW(cfg_auto).apply(v, x11, train=False)
+    assert np.isfinite(float(loss))

@@ -17,6 +17,7 @@ OpenCV's ffmpeg backend. Semantics preserved:
 from __future__ import annotations
 
 import dataclasses
+import os
 import pickle
 import random
 from typing import Sequence
@@ -132,8 +133,15 @@ class VideoClipIndex:
 def decode_frames(path: str, frame_idxs: Sequence[int]) -> np.ndarray:
     """Decode specific frames from a video file (RGB uint8).
 
-    Sequential read from the earliest needed frame (cv2 seek is unreliable
-    frame-accurately on some codecs; clips are short and near-contiguous).
+    Seeks to the earliest needed frame, then reads sequentially. NOTE on
+    seek accuracy: cv2's FFmpeg backend reports CAP_PROP_POS_FRAMES as the
+    value just set whether or not the seek landed there, so it CANNOT be
+    verified post-hoc — there is no cheap landed-check (an earlier version
+    pretended to have one). For constant-frame-rate H.264/mp4 (the Kinetics
+    distribution format) FFmpeg's seek is frame-accurate, pinned by
+    tests/test_data.py::test_decode_frames_seek_matches_sequential; for
+    VFR or exotic containers set ``VIDEOWALK_SEQ_DECODE=1`` to force a
+    grab() skim from frame 0 (exact everywhere, O(first) per clip).
     """
     frame_idxs = np.asarray(frame_idxs)
     first, last = int(frame_idxs.min()), int(frame_idxs.max())
@@ -142,13 +150,11 @@ def decode_frames(path: str, frame_idxs: Sequence[int]) -> np.ndarray:
         if not cap.isOpened():
             raise IOError(f"cannot open video: {path}")
         if first > 0:
-            cap.set(cv2.CAP_PROP_POS_FRAMES, first)
-            # verify the seek landed; fall back to sequential skim
-            pos = int(cap.get(cv2.CAP_PROP_POS_FRAMES))
-            if pos != first:
-                cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
+            if os.environ.get("VIDEOWALK_SEQ_DECODE", "") not in ("", "0"):
                 for _ in range(first):
                     cap.grab()
+            else:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, first)
         buf = {}
         for fi in range(first, last + 1):
             ok, frame = cap.read()
@@ -179,7 +185,9 @@ class UniformClipSampler:
                 continue
             take = self.num_clips_per_video
             pos = np.linspace(cum[vi], cum[vi + 1] - 1, num=take)
-            idxs.extend(int(round(p)) for p in pos)
+            # torchvision floors the linspace (video_utils sampler), it does
+            # not round — fractional midpoints pick the earlier clip
+            idxs.extend(int(p) for p in np.floor(pos))
         return iter(idxs)
 
     def __len__(self):

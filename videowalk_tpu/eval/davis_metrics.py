@@ -153,8 +153,14 @@ def evaluate_davis(results_dir: str, davis_root: str,
                   flush=True)
             all_j.append(scores["J"])
             all_f.append(scores["F"])
-    J = float(np.mean(all_j)) if all_j else 1.0
-    F = float(np.mean(all_f)) if all_f else 1.0
+    if not all_j:
+        # a broken evaluation (blank annotations, empty split, mis-rooted
+        # dirs) must not masquerade as a perfect score
+        raise ValueError(
+            f"no object tracks evaluated: {len(videos)} sequence(s) from "
+            f"{val_list} yielded zero first-frame object ids under {ann}")
+    J = float(np.mean(all_j))
+    F = float(np.mean(all_f))
     out = {"J&F-Mean": (J + F) / 2, "J-Mean": J, "F-Mean": F}
     print({k: round(v, 4) for k, v in out.items()}, flush=True)
     return out

@@ -133,7 +133,7 @@ def topk_affinity_blocked(query: jax.Array, keys: jax.Array,
 
 
 def topk_affinity_radius(query: jax.Array, keys: jax.Array,
-                         mask: jax.Array, temperature: float, topk: int,
+                         temperature: float, topk: int,
                          n_long: int, radius: float, H: int, W: int
                          ) -> tuple[jax.Array, jax.Array]:
     """Radius-windowed top-k affinity: candidates gathered per query.
@@ -402,7 +402,10 @@ def propagate_labels(
             n_long=n_long, topk=topk, temperature=temperature,
             radius=radius, interpret=backend == "sparse_interpret",
             tile=tile)
-    mask = (None if backend == "windowed"
+    # only the blocked/plain xla paths consume the dense (HW, HW) mask;
+    # tiled/windowed slice radius windows directly (building it anyway cost
+    # ~165 MB of device constant at DAVIS 480p shapes)
+    mask = (None if backend in ("windowed", "tiled")
             else _spatial_mask(H, W, radius))
     feats_flat = feats.reshape(N, C, HW)
     lbl_buf = labels0.reshape(N, HW, n_lbl)
@@ -419,7 +422,7 @@ def propagate_labels(
             flat_lbls = ctx_lbls.reshape(-1, n_lbl)      # (L*HW, n_lbl)
         elif backend == "windowed":
             weights, ids = topk_affinity_radius(
-                query, keys, None, temperature, topk, n_long, radius, H, W)
+                query, keys, temperature, topk, n_long, radius, H, W)
             flat_lbls = ctx_lbls.reshape(-1, n_lbl)      # (L*HW, n_lbl)
         else:
             affinity_fn = topk_affinity_blocked if blocked else topk_affinity

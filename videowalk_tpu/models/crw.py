@@ -386,16 +386,19 @@ class CRW(nn.Module):
                     and not self.cfg.sk_targets
                     and not self.cfg.zero_diagonal
                     and self.cfg.use_zero_softmax
-                    and q.shape[3] <= 128)
+                    and q.shape[3] <= 128
+                    # the kernel's per-cycle loss/acc buffers are one
+                    # (8, 128) VMEM tile: T-2 cycles must fit 8 rows
+                    and q.shape[2] <= 10)
         if self.cfg.fused_walk == "on" and not fused_ok:
             # 'on' means FORCE (CRWConfig docstring); silently demoting to
             # the XLA path would make a fused-vs-XLA A/B compare XLA with
             # itself
             raise ValueError(
                 "fused_walk='on' is incompatible with this config "
-                "(flip/sk_targets/zero_diagonal/plain-softmax or N > 128 "
-                f"nodes; N={q.shape[3]}); use fused_walk='auto' to let it "
-                "fall back")
+                "(flip/sk_targets/zero_diagonal/plain-softmax, N > 128 "
+                f"nodes, or clip_len > 10; N={q.shape[3]}, T={q.shape[2]}); "
+                "use fused_walk='auto' to let it fall back")
         use_fused = fused_ok and (
             self.cfg.fused_walk == "on"
             or (self.cfg.fused_walk == "auto"

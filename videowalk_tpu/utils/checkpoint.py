@@ -257,13 +257,21 @@ def save_checkpoint(
 
 def load_checkpoint(path: str) -> dict:
     """Read a .pth checkpoint (torch zipfile or pickle fallback)."""
+    torch_err = None
     if _HAVE_TORCH:
         try:
             return torch.load(path, map_location="cpu", weights_only=False)
-        except Exception:
-            pass
-    with open(path, "rb") as f:
-        return pickle.load(f)
+        except Exception as e:  # fall through to plain pickle
+            torch_err = e
+    try:
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    except Exception as e:
+        if torch_err is not None:
+            # surface the torch diagnosis (e.g. a truncated zip), not
+            # pickle's misleading "invalid load key, 'PK'"
+            raise torch_err from e
+        raise
 
 
 # ----------------------------------------------------- orbax native format

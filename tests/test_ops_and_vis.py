@@ -28,6 +28,24 @@ def test_device_transform_triple_shapes():
         np.asarray(normalize(out["whole_unnorm"])), atol=1e-5)
 
 
+def test_device_grid_cj_flip_actually_applied():
+    """frame_aug 'grid-cj'/'grid-flip' must change the grid view vs plain
+    'grid' under the same key (the per-patch ops were silently dropped
+    before) while leaving whole/whole_unnorm untouched."""
+    clip = jnp.asarray(np.random.RandomState(1)
+                       .randint(0, 255, (1, 2, 96, 128, 3), np.uint8))
+    key = jax.random.PRNGKey(3)
+    base = train_transform_device(key, clip, img_size=64, patch_size=16,
+                                  frame_aug="grid")
+    for aug in ("grid-cj", "grid-flip", "grid-cj-flip"):
+        out = train_transform_device(key, clip, img_size=64, patch_size=16,
+                                     frame_aug=aug)
+        assert not np.allclose(np.asarray(out["grid"]),
+                               np.asarray(base["grid"])), aug
+        np.testing.assert_array_equal(np.asarray(out["whole"]),
+                                      np.asarray(base["whole"]))
+
+
 def test_device_rrc_bounds_and_variety():
     imgs = jnp.asarray(np.random.RandomState(0)
                        .rand(8, 50, 70, 3).astype(np.float32))

@@ -35,6 +35,16 @@ def radius_mask(H: int, W: int, radius: float) -> jnp.ndarray:
     return jnp.asarray((dist < radius).astype(np.float32))
 
 
+def l1_decomposition(r: int) -> tuple[int, int]:
+    """Split an L1 (diamond) dilation of radius ``r`` into two diagonal
+    segment dilations of half-length ``a`` plus ``units`` unit-diamond
+    passes: odd r = diag(a=(r-1)/2) + 1 diamond, even r = diag(r/2-1) + 2.
+    Single authority for both executors (models/crw.py dilate_onehot's XLA
+    path and ops/dilation_kernel.py's in-VMEM Pallas kernel) — each is
+    independently oracle-pinned, but the radius math must never drift."""
+    return ((r - 1) // 2, 1) if r % 2 else (r // 2 - 1, 2)
+
+
 def make_dilation_kernel(kernel_size: int, kernel_shape: str = "L1") -> jnp.ndarray:
     """Odd-size binary 2D structuring element for superpixel dilation.
 

@@ -39,7 +39,9 @@ def sinkhorn_knopp(A: jax.Array, tol: float = 0.01, max_iter: int = 1000) -> jax
 
     def cond(state):
         A2, it = state
-        colsum_std = jnp.std(jnp.sum(A2, axis=-2))
+        # ddof=1: torch Tensor.std is Bessel-corrected — ddof=0 is
+        # sqrt((n-1)/n) smaller and can stop one iteration early near tol
+        colsum_std = jnp.std(jnp.sum(A2, axis=-2), ddof=1)
         return jnp.logical_or(it == 0,
                               jnp.logical_and(colsum_std > tol, it < max_iter))
 

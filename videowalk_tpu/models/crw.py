@@ -175,7 +175,9 @@ def dilate_onehot(onehot: jax.Array, kernel_size: int, shape: str) -> jax.Array:
             return shift(y, -a * sy, -a * sx)   # center the segment
 
         if r > 0:
-            a, units = ((r - 1) // 2, 1) if r % 2 else (r // 2 - 1, 2)
+            from videowalk_tpu.core.masks import l1_decomposition
+
+            a, units = l1_decomposition(r)
             if a > 0:
                 # Zero-pad by r first: a diagonal path between two in-frame
                 # points may pass outside the frame, so clipping the

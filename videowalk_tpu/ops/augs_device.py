@@ -51,14 +51,25 @@ def _sample_crop_boxes(key, B: int, h: int, w: int, scale, ratio):
     cw = jnp.round(jnp.sqrt(target_area * aspect)).astype(jnp.int32)
     ch = jnp.round(jnp.sqrt(target_area / aspect)).astype(jnp.int32)
     ok = (cw > 0) & (cw <= w) & (ch > 0) & (ch <= h)
-    # first valid candidate (argmax over bool picks first True)
+    # first valid candidate (argmax over bool picks first True); fallback =
+    # torchvision's ratio-clamped center crop (host parity, data/augs.py:
+    # 80-88), not the full frame — h/w/ratio are static so it's plain math
+    in_ratio = w / h
+    if in_ratio < min(ratio):
+        fb_w, fb_h = w, int(round(w / min(ratio)))
+    elif in_ratio > max(ratio):
+        fb_w, fb_h = int(round(h * max(ratio))), h
+    else:
+        fb_w, fb_h = w, h
     first = jnp.argmax(ok, axis=1)
     any_ok = jnp.any(ok, axis=1)
-    cw = jnp.where(any_ok, cw[jnp.arange(B), first], w)
-    ch = jnp.where(any_ok, ch[jnp.arange(B), first], h)
-    # uniform position
+    cw = jnp.where(any_ok, cw[jnp.arange(B), first], fb_w)
+    ch = jnp.where(any_ok, ch[jnp.arange(B), first], fb_h)
+    # uniform position; the fallback is CENTERED like torchvision's
     i = (jax.random.uniform(k3, (B,)) * (h - ch + 1)).astype(jnp.int32)
     j = (jax.random.uniform(k4, (B,)) * (w - cw + 1)).astype(jnp.int32)
+    i = jnp.where(any_ok, i, (h - ch) // 2)
+    j = jnp.where(any_ok, j, (w - cw) // 2)
     return i, j, ch, cw
 
 
@@ -68,9 +79,12 @@ def _crop_resize_one(img, i, j, ch, cw, out_size: int):
                        out_size / cw.astype(jnp.float32)])
     translation = -jnp.stack([i.astype(jnp.float32) * scale[0],
                               j.astype(jnp.float32) * scale[1]])
+    # antialias=False: the host operator is crop + cv2.INTER_LINEAR, which
+    # has no low-pass — antialias=True would widen the bilinear kernel on
+    # downscale and systematically soften device-augmented frames vs host
     return jax.image.scale_and_translate(
         img, (out_size, out_size, 3), (0, 1), scale, translation,
-        method="linear")
+        method="linear", antialias=False)
 
 
 def random_resized_crop(key, imgs: jax.Array, out_size: int,
@@ -182,8 +196,15 @@ def train_transform_device(
         patches = extract_patch_grid(x, patch_size, stride)  # (BT, N, p, p, 3)
         N = patches.shape[1]
         flat = patches.reshape(B * T * N, patch_size, patch_size, 3)
+        k_grid, k_pcj, k_pflip = jax.random.split(k_grid, 3)
         flat = random_resized_crop(k_grid, flat, patch_size,
                                    scale=(0.7, 0.9), ratio=(1.0, 1.0))
+        # per-patch cj/flip for 'grid-cj'/'grid-flip' (host parity:
+        # data/augs.py applies them per patch after the jitter crop)
+        if "cj" in frame_aug:
+            flat = color_jitter(k_pcj, flat)
+        if "flip" in frame_aug:
+            flat = random_hflip(k_pflip, flat)
         grid = normalize(flat.reshape(B, T, N, patch_size, patch_size, 3))
     else:
         grid = whole

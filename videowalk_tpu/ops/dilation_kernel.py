@@ -86,9 +86,11 @@ def dilate_l1_pallas(x: jax.Array, kernel_size: int,
     Same decomposition as models/crw.py dilate_onehot's L1 branch, executed
     per channel block entirely in VMEM. No gradient (see module docstring).
     """
+    from videowalk_tpu.core.masks import l1_decomposition
+
     N, h, w = x.shape
     r = kernel_size // 2
-    a, units = ((r - 1) // 2, 1) if r % 2 else (r // 2 - 1, 2)
+    a, units = l1_decomposition(r)
     if r < 1:
         return x
     # bf16 is exact for 0/1 masks and halves VMEM; cb=4 keeps the shift

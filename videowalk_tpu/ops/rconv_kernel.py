@@ -270,7 +270,7 @@ def _dx_kernel(g_ref, wt_ref, o_ref, acc_ref, *, H, W, g):
 def _dx_call(gy, w9, cin, interpret):
     N, H, W, cout = gy.shape
     # transposed taps: wt[t] = W[t].T (the roll transpose handles flips)
-    wt = jnp.stack([w9[t].T for t in range(9)])
+    wt = jnp.swapaxes(w9, 1, 2)
     g = _g_for(H * W, cout, cin, gy.dtype.itemsize, n_live=20,
                temp_itemsize=4)
     pad_n = (-N) % g

@@ -177,6 +177,8 @@ def slic(
         new_centers = jnp.where(counts[..., None] > 0, new_centers, centers)
         return new_centers, labels
 
+    # labels init is dead for n_iter >= 1 (body recomputes assign(centers)
+    # before reading it) — zeros avoid a wasted full assignment pass
     centers, labels = jax.lax.fori_loop(
-        0, n_iter, body, (centers0, assign(centers0)))
+        0, n_iter, body, (centers0, jnp.zeros((B, H * W), jnp.int32)))
     return labels.reshape(*lead, H, W).astype(jnp.int32)

@@ -207,6 +207,37 @@ def test_eval_data_parallel_matches_single_device(filelist, tmp_path):
     assert any(f.endswith("_mask.png") for f in os.listdir(mesh))
 
 
+def test_eval_sharded_propagation_matches_single_device(filelist, tmp_path):
+    """--data-parallel + the sparse backend shards the propagation itself
+    (query-tile bands over the mesh) — dumped masks must match the
+    single-device sparse run bit for bit. imgSize 128 -> 16x16 feature
+    grid -> 2 tile rows -> 2 of the 8 CPU devices are usable."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    from videowalk_tpu.cli.test import main as test_main
+
+    single, mesh = str(tmp_path / "single"), str(tmp_path / "mesh")
+    a = make_args(filelist, single)
+    a.imgSize = 128
+    a.prop_backend = "sparse_interpret"
+    test_main(a)
+    b = make_args(filelist, mesh)
+    b.imgSize = 128
+    b.prop_backend = "sparse_interpret"
+    b.data_parallel = True
+    test_main(b)
+    n = 0
+    for f in sorted(os.listdir(single)):
+        if f.endswith("_mask.png"):
+            pa = np.asarray(Image.open(os.path.join(single, f)))
+            pb = np.asarray(Image.open(os.path.join(mesh, f)))
+            assert np.array_equal(pa, pb), f
+            n += 1
+    assert n > 0
+
+
 def test_davis_metrics_perfect_and_empty(davis_root, tmp_path):
     """J&F == 1 when predictions equal ground truth."""
     from videowalk_tpu.eval.davis_metrics import evaluate_sequence

@@ -355,7 +355,7 @@ BACKENDS = ("xla", "tiled", "windowed", "sparse", "sparse_interpret")
 
 @partial(jax.jit, static_argnames=("n_context", "n_long", "topk",
                                    "temperature", "radius", "blocked",
-                                   "backend", "tile"))
+                                   "backend", "tile", "mesh", "data_axis"))
 def propagate_labels(
     feats: jax.Array,
     labels0: jax.Array,
@@ -369,6 +369,8 @@ def propagate_labels(
     blocked: bool = True,
     backend: str = "xla",
     tile: int | None = None,
+    mesh=None,
+    data_axis: str = "data",
 ) -> jax.Array:
     """Autoregressive label propagation over a whole video, on device.
 
@@ -386,6 +388,9 @@ def propagate_labels(
         and ``tile`` is part of the cache key, so callers sweeping tiles in
         one process must pass it explicitly (``propagate_labels_bucketed``
         does).
+      mesh: optional ``jax.sharding.Mesh`` — sparse-family backends shard
+        each step's query grid over ``mesh.shape[data_axis]`` devices (see
+        ``_propagate_labels_sparse``); other backends reject it.
 
     Returns:
       ``(N_targets, H, W, L)`` predicted soft labels per target frame.
@@ -401,7 +406,11 @@ def propagate_labels(
             feats, labels0, key_indices, n_context=n_context,
             n_long=n_long, topk=topk, temperature=temperature,
             radius=radius, interpret=backend == "sparse_interpret",
-            tile=tile)
+            tile=tile, mesh=mesh, data_axis=data_axis)
+    if mesh is not None and mesh.shape[data_axis] > 1:
+        raise ValueError(
+            f"multi-device propagation is only implemented for the sparse "
+            f"backends (got backend={backend!r})")
     # only the blocked/plain xla paths consume the dense (HW, HW) mask;
     # tiled/windowed slice radius windows directly (building it anyway cost
     # ~165 MB of device constant at DAVIS 480p shapes)
@@ -445,12 +454,25 @@ def propagate_labels(
 
 def _propagate_labels_sparse(feats, labels0, key_indices, *, n_context,
                              n_long, topk, temperature, radius, interpret,
-                             tile=None):
+                             tile=None, mesh=None, data_axis="data"):
     """``propagate_labels`` via the block-sparse Pallas kernel
     (ops/prop_sparse_kernel.py): keys and the label buffer live in a
     zero-padded (N, H+2r, W+2r, .) halo layout so the kernel's per-tile
-    windows are static strided slices; the scan carries the padded buffer."""
-    from videowalk_tpu.ops.prop_sparse_kernel import (long_rows_for_sparse,
+    windows are static strided slices; the scan carries the padded buffer.
+
+    With ``mesh``, each target's query grid is sharded over the mesh's
+    ``data_axis`` in horizontal bands of tile rows (``shard_map``): every
+    device runs the kernel on its own band against the replicated
+    key/label buffers (the band's halo rows come from a dynamic row slice,
+    so no halo exchange is needed), and the per-step prediction is
+    re-assembled across devices by XLA when the replicated scan carry is
+    updated — the only per-step collective is that (HW, n_lbl) all-gather.
+    The scan itself stays sequential (autoregressive label dependency);
+    sharding lives inside each step. Requires the tile-row count
+    ``ceil(H/tile)`` to be divisible by the mesh size (``sparse_shard_count``
+    picks the largest usable device count)."""
+    from videowalk_tpu.ops.prop_sparse_kernel import (_sparse_call,
+                                                      long_rows_for_sparse,
                                                       pad_for_sparse,
                                                       sparse_halo,
                                                       sparse_topk_propagate)
@@ -482,18 +504,53 @@ def _propagate_labels_sparse(feats, labels0, key_indices, *, n_context,
                       ((0, 0), (r, Hh - H - r), (r, Wh - W - r),
                        (0, NLP - n_lbl)))
 
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    D = 1 if mesh is None else int(mesh.shape[data_axis])
+    Hp = -(-H // tile) * tile
+    Wp = -(-W // tile) * tile
+    if D > 1 and (Hp // tile) % D:
+        raise ValueError(
+            f"sharded sparse propagation needs ceil(H/tile)={Hp // tile} "
+            f"tile rows divisible by the mesh size {D} "
+            f"(use sparse_shard_count to pick a usable device count)")
+
     def step(lbl_pad, idx_row):
         t_global = idx_row[-1] + 1
         fr = jax.lax.dynamic_index_in_dim(feats_pad, t_global, 0,
                                           keepdims=False)
-        query = jnp.moveaxis(fr[r:r + H, r:r + W], -1, 0).reshape(C, HW)
         klong, llong = long_rows_for_sparse(feats_pad, lbl_pad,
                                             idx_row[:n_long])
-        pred = sparse_topk_propagate(
-            query, feats_pad, lbl_pad, klong, llong, idx_row,
-            n_long=n_long, topk=topk, temperature=temperature,
-            radius=radius, H=H, W=W, interpret=interpret,
-            tile=tile)                                      # (HW, NLP)
+        if D == 1:
+            query = jnp.moveaxis(fr[r:r + H, r:r + W], -1, 0).reshape(C, HW)
+            pred = sparse_topk_propagate(
+                query, feats_pad, lbl_pad, klong, llong, idx_row,
+                n_long=n_long, topk=topk, temperature=temperature,
+                radius=radius, H=H, W=W, interpret=interpret,
+                tile=tile)                                  # (HW, NLP)
+        else:
+            Hb = Hp // D                    # band query rows (tile-aligned)
+            qg = fr[r:r + Hp, r:r + Wp]     # (Hp, Wp, C) tile-aligned grid
+
+            def body(qg_band, idx_b, feats_b, lbl_b, klong_b, llong_b):
+                off = jax.lax.axis_index(data_axis).astype(jnp.int32) * Hb
+                fband = jax.lax.dynamic_slice_in_dim(
+                    feats_b, off, Hb + 2 * r, axis=1)
+                lband = jax.lax.dynamic_slice_in_dim(
+                    lbl_b, off, Hb + 2 * r, axis=1)
+                return _sparse_call(
+                    qg_band, fband, lband, klong_b, llong_b, idx_b,
+                    off.reshape(1), H=H, W=W, lHh=Hh, lWh=Wh,
+                    n_long=n_long, topk=topk, temperature=temperature,
+                    radius=radius, interpret=interpret,
+                    precision="highest", tq=tile)           # (Hb, Wp, NLP)
+
+            grid = jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P(data_axis), P(), P(), P(), P(), P()),
+                out_specs=P(data_axis), check_vma=False,
+            )(qg, idx_row, feats_pad, lbl_pad, klong, llong)  # (Hp, Wp, NLP)
+            pred = grid[:H, :W].reshape(HW, NLP)
         # Reference quirk (code/test.py:156-160): the FIRST target's
         # prediction is replaced by the ground-truth frame-0 labels.
         gt0 = lbl_pad[0, r:r + H, r:r + W].reshape(HW, NLP)
@@ -502,6 +559,11 @@ def _propagate_labels_sparse(feats, labels0, key_indices, *, n_context,
             lbl_pad, pred.reshape(1, H, W, NLP)
             .astype(lbl_pad.dtype),
             (t_global, jnp.int32(r), jnp.int32(r), jnp.int32(0)))
+        if D > 1:
+            # keep the scan carry replicated: the sharded band prediction
+            # forces exactly one (HW, NLP) all-gather here per step
+            lbl_pad = jax.lax.with_sharding_constraint(
+                lbl_pad, NamedSharding(mesh, P()))
         return lbl_pad, pred
 
     _, preds = jax.lax.scan(step, lbl_pad, key_indices)
@@ -522,6 +584,8 @@ def propagate_labels_bucketed(
     backend: str = "xla",
     length_bucket: int = 16,
     label_bucket: int = 8,
+    mesh=None,
+    data_axis: str = "data",
 ) -> np.ndarray:
     """``propagate_labels`` with shape bucketing: O(1) compiles per sweep.
 
@@ -584,5 +648,5 @@ def propagate_labels_bucketed(
         jnp.asarray(feats), jnp.asarray(labels0), jnp.asarray(key_indices),
         n_context=n_context, n_long=n_long, topk=topk,
         temperature=temperature, radius=radius, blocked=blocked,
-        backend=backend, tile=tile)
+        backend=backend, tile=tile, mesh=mesh, data_axis=data_axis)
     return np.asarray(preds)[:n_targets, ..., :n_lbl]

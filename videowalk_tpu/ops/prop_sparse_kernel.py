@@ -52,11 +52,16 @@ def _align(n: int, m: int) -> int:
 
 
 def _kernel(idx_ref,            # SMEM (L,) int32 context frame indices
+            off_ref,            # SMEM (1,) int32 global padded row offset of
+                                # this call's query band (0 single-device;
+                                # d * band_rows under the shard_map path)
             q_ref,              # VMEM (tq, tq, C) query tile
             klong_ref,          # VMEM (n_long, HWLp, C) long-term keys
             llong_ref,          # VMEM (n_long, HWLp, nl) long-term labels
-            feats_ref,          # ANY  (N, Hh, Wh, C) padded per-frame keys
-            lbls_ref,           # ANY  (N, Hh, Wh, nl) padded label buffer
+            feats_ref,          # ANY  (N, Hb, Wh, C) padded per-frame keys
+                                # (band slice: rows [off, off + Hq + 2r) of
+                                # the global padded layout)
+            lbls_ref,           # ANY  (N, Hb, Wh, nl) padded label buffer
             o_ref,              # VMEM (tq*tq, nl) tile predictions
             cand_ref,           # scratch f32 (TQ2, CW); reused as U after
                                 # the destructive top-k (saves a CW-wide buf)
@@ -64,7 +69,7 @@ def _kernel(idx_ref,            # SMEM (L,) int32 context frame indices
             kwin_ref,           # scratch f32 (2, WIN, WIN, C)
             lwin_ref,           # scratch f32 (2, WIN, WIN, nl)
             ksem, lsem,         # DMA semaphores (2,)
-            *, H, W, Hh, Wh, r, n_long, n_short, topk, temperature, radius,
+            *, H, W, lHh, lWh, r, n_long, n_short, topk, temperature, radius,
             ntw, precision, tq):
     C = q_ref.shape[-1]
     nl = o_ref.shape[-1]
@@ -84,11 +89,11 @@ def _kernel(idx_ref,            # SMEM (L,) int32 context frame indices
     # (the reference applies the radius mask to short-term frames only,
     # code/utils/test_utils.py:162)
     flat = jax.lax.broadcasted_iota(jnp.int32, (1, HWLp), 1)
-    lrow = flat // Wh
-    lcol = flat % Wh
+    lrow = flat // lWh
+    lcol = flat % lWh
     lmask = jnp.where((lrow >= r) & (lrow < r + H)
                       & (lcol >= r) & (lcol < r + W)
-                      & (flat < Hh * Wh), 0.0, _NEG).astype(jnp.float32)
+                      & (flat < lHh * lWh), 0.0, _NEG).astype(jnp.float32)
     for l in range(n_long):
         a = jax.lax.dot_general(
             q, klong_ref[l], (((1,), (1,)), ((), ())),
@@ -113,8 +118,8 @@ def _kernel(idx_ref,            # SMEM (L,) int32 context frame indices
     wc = s - wr * WIN
     dy = wr - r - qr
     dx = wc - r - qc
-    krow = ti * tq + wr                                   # padded coords
-    kcol = tj * tq + wc
+    krow = off_ref[0] + ti * tq + wr          # GLOBAL padded row coords
+    kcol = tj * tq + wc                       # cols are never band-sliced
     ok = ((dy * dy + dx * dx).astype(jnp.float32) < radius * radius) \
         & (krow >= r) & (krow < r + H) & (kcol >= r) & (kcol < r + W)
     smask = jnp.where(ok, 0.0, _NEG).astype(jnp.float32)
@@ -202,6 +207,75 @@ def _kernel(idx_ref,            # SMEM (L,) int32 context frame indices
     o_ref[...] = pred / z
 
 
+def _sparse_call(qg, feats_band, lbl_band, klong, llong, idx_row, row_off,
+                 *, H, W, lHh, lWh, n_long, topk, temperature, radius,
+                 interpret, precision, tq):
+    """The pallas_call, band-capable. ``qg`` is a tile-aligned (Hq, Wp, C)
+    query grid; ``feats_band``/``lbl_band`` hold rows
+    [row_off, row_off + Hq + 2r) of the global padded layout (the full
+    layout when ``row_off`` is 0 and Hq covers the whole grid). ``H``/``W``
+    are the GLOBAL valid extents (bounds masks), ``lHh``/``lWh`` the global
+    padded dims of ``klong``'s raster rows. Returns (Hq, Wp, nl) raster
+    predictions for the band.
+    """
+    Hq, Wp, C = qg.shape
+    nl = lbl_band.shape[-1]
+    r = sparse_halo(radius, tq)
+    WIN = tq + 2 * r
+    n_short = int(idx_row.shape[0]) - n_long
+    nth, ntw = Hq // tq, Wp // tq
+    R = nth * ntw * tq * tq
+    HWLp = klong.shape[1]
+    CW = _align(n_long * HWLp + n_short * WIN * WIN, 128)
+
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[precision]
+    kernel = functools.partial(
+        _kernel, H=H, W=W, lHh=lHh, lWh=lWh, r=r, n_long=n_long,
+        n_short=n_short, topk=topk, temperature=float(temperature),
+        radius=float(radius), ntw=ntw, precision=prec, tq=tq)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nth * ntw,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # idx_row
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # row_off
+            pl.BlockSpec((tq, tq, C), lambda i: (i // ntw, i % ntw, 0),
+                         memory_space=pltpu.VMEM),                 # query
+            pl.BlockSpec((n_long, HWLp, C), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),                 # klong
+            pl.BlockSpec((n_long, HWLp, nl), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),                 # llong
+            pl.BlockSpec(memory_space=pl.ANY),                  # feats
+            pl.BlockSpec(memory_space=pl.ANY),                  # labels
+        ],
+        out_specs=pl.BlockSpec((tq * tq, nl), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, nl), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tq * tq, CW), jnp.float32),                # cand/U
+            pltpu.VMEM((CW, nl), jnp.float32),                     # labels
+            pltpu.VMEM((2, WIN, WIN, C), jnp.float32),             # key win
+            pltpu.VMEM((2, WIN, WIN, nl), jnp.float32),            # lbl win
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(idx_row, jnp.int32),
+      jnp.asarray(row_off, jnp.int32).reshape(1),
+      qg, klong, llong, feats_band, lbl_band)
+
+    # tiled row order -> band raster order (pure reshape/transpose —
+    # identical values to a gather by the tile permutation)
+    return (out.reshape(nth, ntw, tq, tq, nl)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(Hq, Wp, nl))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_long", "topk", "temperature", "radius", "H", "W",
@@ -234,14 +308,9 @@ def sparse_topk_propagate(query, feats_pad, lbl_pad, klong, llong, idx_row,
     r = sparse_halo(radius, tq)
     assert Hh == _align(H, tq) + 2 * r and Wh == _align(W, tq) + 2 * r, \
         "feats_pad must come from pad_for_sparse with the same tile"
-    WIN = tq + 2 * r
     nl = lbl_pad.shape[-1]
-    n_short = int(idx_row.shape[0]) - n_long
     nth, ntw = -(-H // tq), -(-W // tq)
     Hp, Wp = nth * tq, ntw * tq
-    R = nth * ntw * tq * tq
-    HWLp = klong.shape[1]
-    CW = _align(n_long * HWLp + n_short * WIN * WIN, 128)
 
     # query -> (Hp, Wp, C), zero-padded
     qg = jnp.moveaxis(query.reshape(C, H, W), 0, -1)
@@ -253,49 +322,13 @@ def sparse_topk_propagate(query, feats_pad, lbl_pad, klong, llong, idx_row,
     # bf16, which flips near-tie selections and drifts the autoregressive
     # scan — measured max-label divergence 0.095 over 48 DAVIS-480p frames).
     # "high" (3-pass) is a cheaper near-f32 option exposed for sweeps.
-    prec = {"highest": jax.lax.Precision.HIGHEST,
-            "high": jax.lax.Precision.HIGH,
-            "default": jax.lax.Precision.DEFAULT}[precision]
-    kernel = functools.partial(
-        _kernel, H=H, W=W, Hh=Hh, Wh=Wh, r=r, n_long=n_long,
-        n_short=n_short, topk=topk, temperature=float(temperature),
-        radius=float(radius), ntw=ntw, precision=prec, tq=tq)
-
-    out = pl.pallas_call(
-        kernel,
-        grid=(nth * ntw,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),                 # idx_row
-            pl.BlockSpec((tq, tq, C), lambda i: (i // ntw, i % ntw, 0),
-                         memory_space=pltpu.VMEM),                 # query
-            pl.BlockSpec((n_long, HWLp, C), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),                 # klong
-            pl.BlockSpec((n_long, HWLp, nl), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),                 # llong
-            pl.BlockSpec(memory_space=pl.ANY),                  # feats
-            pl.BlockSpec(memory_space=pl.ANY),                  # labels
-        ],
-        out_specs=pl.BlockSpec((tq * tq, nl), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R, nl), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((tq * tq, CW), jnp.float32),                # cand/U
-            pltpu.VMEM((CW, nl), jnp.float32),                     # labels
-            pltpu.VMEM((2, WIN, WIN, C), jnp.float32),             # key win
-            pltpu.VMEM((2, WIN, WIN, nl), jnp.float32),            # lbl win
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(jnp.asarray(idx_row, jnp.int32), qg, klong, llong, feats_pad, lbl_pad)
-
-    # tiled row order -> raster query order
-    hq, wq = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-    perm = (((hq // tq) * ntw + wq // tq) * (tq * tq)
-            + (hq % tq) * tq + wq % tq).reshape(-1)
-    return out[jnp.asarray(perm)]
+    grid = _sparse_call(
+        qg, feats_pad, lbl_pad, klong, llong, idx_row,
+        jnp.zeros((1,), jnp.int32),
+        H=H, W=W, lHh=Hh, lWh=Wh, n_long=n_long, topk=topk,
+        temperature=temperature, radius=radius, interpret=interpret,
+        precision=precision, tq=tq)                       # (Hp, Wp, nl)
+    return grid[:H, :W].reshape(HW, nl)
 
 
 def sparse_tile() -> int:
@@ -320,6 +353,19 @@ def sparse_tile() -> int:
             f"VIDEOWALK_SPARSE_TILE={tile} must be a positive multiple of 8 "
             f"(sublane-dim DMA slices)")
     return tile
+
+
+def sparse_shard_count(H: int, tile: int, n_devices: int) -> int:
+    """Largest usable mesh size for sharded sparse propagation at height
+    ``H``: the query grid splits into ``ceil(H/tile)`` tile rows and each
+    device takes an equal contiguous band, so the count must divide the
+    tile-row total. DAVIS-480p (H=60, tile=8) -> 8 tile rows -> any of
+    1/2/4/8 devices."""
+    nth = -(-H // tile)
+    d = max(1, min(int(n_devices), nth))
+    while nth % d:
+        d -= 1
+    return d
 
 
 def sparse_halo(radius: float, tile: int) -> int:

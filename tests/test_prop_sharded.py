@@ -56,6 +56,25 @@ def test_sharded_sparse_matches_single_device(H, W, n_dev):
     np.testing.assert_array_equal(got, want)
 
 
+def test_sharded_sparse_odd_radius():
+    """Odd radii over-pad the DMA halo (sparse_halo rounds to the sublane
+    tile); the band slice must use the same rounded halo so global row
+    bookkeeping stays exact."""
+    H, W = 32, 10
+    n_context, N_targets, C, n_lbl = 3, 4, 8, 4
+    feats, labels0 = _setup(5, n_context, N_targets, C, H, W, n_lbl)
+    key_indices = context_index_bank(n_context, [0], N_targets)
+    kw = dict(n_context=n_context, n_long=1, topk=4, temperature=0.07,
+              radius=5.0, backend="sparse_interpret")  # halo rounds 5 -> 8
+    want = np.asarray(propagate_labels(
+        jnp.asarray(feats), jnp.asarray(labels0), jnp.asarray(key_indices),
+        **kw))
+    got = np.asarray(propagate_labels(
+        jnp.asarray(feats), jnp.asarray(labels0), jnp.asarray(key_indices),
+        mesh=make_mesh(4), **kw))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_sharded_sparse_two_long_frames():
     H, W = 24, 9
     n_context, N_targets, C, n_lbl = 2, 6, 8, 3

@@ -92,14 +92,29 @@ def test_sharded_sparse_two_long_frames():
 
 
 def test_sparse_shard_count():
-    # DAVIS 480p: H=60 at stride 8 -> 8 tile rows -> powers of two divide
-    assert sparse_shard_count(60, 8, 8) == 8
-    assert sparse_shard_count(60, 8, 5) == 4
-    assert sparse_shard_count(60, 8, 3) == 2
-    # 7 tile rows: only 1 or 7 divide
-    assert sparse_shard_count(56, 8, 8) == 7
-    assert sparse_shard_count(56, 8, 4) == 1
+    # the count must divide BOTH the tile-row total (equal bands) and the
+    # device count (the eval driver reshapes ALL devices into a
+    # (bands, replicas) mesh — features arrive sharded over every device),
+    # i.e. gcd(tile_rows, n_devices)
+    assert sparse_shard_count(60, 8, 8) == 8   # DAVIS 480p on a v5e-8
+    assert sparse_shard_count(60, 8, 6) == 2   # 8 rows, 6 devs -> gcd 2
+    assert sparse_shard_count(60, 8, 5) == 1
+    assert sparse_shard_count(56, 8, 8) == 1   # 7 rows, 8 devs
+    assert sparse_shard_count(56, 8, 7) == 7
+    assert sparse_shard_count(40, 8, 8) == 1   # JHMDB 320px: 5 rows
+    assert sparse_shard_count(40, 8, 5) == 5
     assert sparse_shard_count(8, 8, 8) == 1
+
+
+def test_shard_count_always_reshapes_devices():
+    """The CLI folds all devices into a (bands, replicas) mesh; the count
+    returned must make that reshape valid for ANY geometry (the original
+    divide-tile-rows-only rule crashed on 7 rows x 8 devices)."""
+    for H in range(8, 130, 4):
+        for n_dev in (1, 2, 3, 4, 5, 6, 7, 8):
+            d = sparse_shard_count(H, 8, n_dev)
+            nth = -(-H // 8)
+            assert nth % d == 0 and n_dev % d == 0
 
 
 def test_mesh_rejected_for_non_sparse_backends():

@@ -401,6 +401,9 @@ def propagate_labels(
     N, C, H, W = feats.shape
     HW = H * W
     n_lbl = labels0.shape[-1]
+    if mesh is not None and data_axis not in mesh.shape:
+        raise ValueError(
+            f"mesh has no axis {data_axis!r} (axes: {tuple(mesh.shape)})")
     if backend in ("sparse", "sparse_interpret"):
         return _propagate_labels_sparse(
             feats, labels0, key_indices, n_context=n_context,
@@ -471,7 +474,7 @@ def _propagate_labels_sparse(feats, labels0, key_indices, *, n_context,
     sharding lives inside each step. Requires the tile-row count
     ``ceil(H/tile)`` to be divisible by the mesh size (``sparse_shard_count``
     picks the largest usable device count)."""
-    from videowalk_tpu.ops.prop_sparse_kernel import (_sparse_call,
+    from videowalk_tpu.ops.prop_sparse_kernel import (sparse_band_propagate,
                                                       long_rows_for_sparse,
                                                       pad_for_sparse,
                                                       sparse_halo,
@@ -538,7 +541,7 @@ def _propagate_labels_sparse(feats, labels0, key_indices, *, n_context,
                     feats_b, off, Hb + 2 * r, axis=1)
                 lband = jax.lax.dynamic_slice_in_dim(
                     lbl_b, off, Hb + 2 * r, axis=1)
-                return _sparse_call(
+                return sparse_band_propagate(
                     qg_band, fband, lband, klong_b, llong_b, idx_b,
                     off.reshape(1), H=H, W=W, lHh=Hh, lWh=Wh,
                     n_long=n_long, topk=topk, temperature=temperature,

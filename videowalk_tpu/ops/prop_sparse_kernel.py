@@ -207,7 +207,7 @@ def _kernel(idx_ref,            # SMEM (L,) int32 context frame indices
     o_ref[...] = pred / z
 
 
-def _sparse_call(qg, feats_band, lbl_band, klong, llong, idx_row, row_off,
+def sparse_band_propagate(qg, feats_band, lbl_band, klong, llong, idx_row, row_off,
                  *, H, W, lHh, lWh, n_long, topk, temperature, radius,
                  interpret, precision, tq):
     """The pallas_call, band-capable. ``qg`` is a tile-aligned (Hq, Wp, C)
@@ -322,7 +322,7 @@ def sparse_topk_propagate(query, feats_pad, lbl_pad, klong, llong, idx_row,
     # bf16, which flips near-tie selections and drifts the autoregressive
     # scan — measured max-label divergence 0.095 over 48 DAVIS-480p frames).
     # "high" (3-pass) is a cheaper near-f32 option exposed for sweeps.
-    grid = _sparse_call(
+    grid = sparse_band_propagate(
         qg, feats_pad, lbl_pad, klong, llong, idx_row,
         jnp.zeros((1,), jnp.int32),
         H=H, W=W, lHh=Hh, lWh=Wh, n_long=n_long, topk=topk,
@@ -356,16 +356,19 @@ def sparse_tile() -> int:
 
 
 def sparse_shard_count(H: int, tile: int, n_devices: int) -> int:
-    """Largest usable mesh size for sharded sparse propagation at height
-    ``H``: the query grid splits into ``ceil(H/tile)`` tile rows and each
-    device takes an equal contiguous band, so the count must divide the
-    tile-row total. DAVIS-480p (H=60, tile=8) -> 8 tile rows -> any of
-    1/2/4/8 devices."""
+    """Usable band count for sharded sparse propagation at height ``H``
+    on an ``n_devices`` host: the query grid splits into ``ceil(H/tile)``
+    tile rows and each device takes an equal contiguous band, so the count
+    must divide the tile-row total — AND it must divide ``n_devices``,
+    because the eval driver folds ALL devices into the propagation mesh
+    (the features arrive sharded over every device; surplus devices ride
+    a trailing replica axis, which only reshapes when bands | devices).
+    The largest number dividing both is their gcd. DAVIS-480p (H=60,
+    tile=8) -> 8 tile rows -> all 8 devices of a v5e-8."""
+    import math
+
     nth = -(-H // tile)
-    d = max(1, min(int(n_devices), nth))
-    while nth % d:
-        d -= 1
-    return d
+    return math.gcd(nth, max(1, int(n_devices)))
 
 
 def sparse_halo(radius: float, tile: int) -> int:

@@ -92,29 +92,37 @@ def test_sharded_sparse_two_long_frames():
 
 
 def test_sparse_shard_count():
-    # the count must divide BOTH the tile-row total (equal bands) and the
-    # device count (the eval driver reshapes ALL devices into a
-    # (bands, replicas) mesh — features arrive sharded over every device),
-    # i.e. gcd(tile_rows, n_devices)
+    # ACTIVE bands: each device takes ceil(rows/D) tile rows; uneven splits
+    # zero-extend (trailing bands masked dead), so any geometry shards
     assert sparse_shard_count(60, 8, 8) == 8   # DAVIS 480p on a v5e-8
-    assert sparse_shard_count(60, 8, 6) == 2   # 8 rows, 6 devs -> gcd 2
-    assert sparse_shard_count(60, 8, 5) == 1
-    assert sparse_shard_count(56, 8, 8) == 1   # 7 rows, 8 devs
-    assert sparse_shard_count(56, 8, 7) == 7
-    assert sparse_shard_count(40, 8, 8) == 1   # JHMDB 320px: 5 rows
-    assert sparse_shard_count(40, 8, 5) == 5
+    assert sparse_shard_count(60, 8, 6) == 4   # 8 rows, 2/band -> 4 active
+    assert sparse_shard_count(56, 8, 8) == 7   # 7 rows, 1/band
+    assert sparse_shard_count(40, 8, 8) == 5   # JHMDB 320px: 5 rows
+    assert sparse_shard_count(40, 8, 2) == 2
     assert sparse_shard_count(8, 8, 8) == 1
 
 
-def test_shard_count_always_reshapes_devices():
-    """The CLI folds all devices into a (bands, replicas) mesh; the count
-    returned must make that reshape valid for ANY geometry (the original
-    divide-tile-rows-only rule crashed on 7 rows x 8 devices)."""
-    for H in range(8, 130, 4):
-        for n_dev in (1, 2, 3, 4, 5, 6, 7, 8):
-            d = sparse_shard_count(H, 8, n_dev)
-            nth = -(-H // 8)
-            assert nth % d == 0 and n_dev % d == 0
+@pytest.mark.parametrize("H,W,n_dev", [
+    (37, 10, 2),    # 5 tile rows over 2 devices: band 1 STRADDLES the grid
+                    # edge (rows 24-47 vs 40-row padded grid) — exercises
+                    # the zero-extension of the key/label layouts
+    (20, 12, 8),    # 3 tile rows over 8 devices: bands 3..7 fully dead
+])
+def test_sharded_sparse_uneven_bands(H, W, n_dev):
+    """Mesh sizes that do not divide the tile-row count shard via
+    zero-extended layouts; parity must stay bitwise."""
+    n_context, N_targets, C, n_lbl = 3, 4, 8, 4
+    feats, labels0 = _setup(7, n_context, N_targets, C, H, W, n_lbl)
+    key_indices = context_index_bank(n_context, [0], N_targets)
+    kw = dict(n_context=n_context, n_long=1, topk=4, temperature=0.07,
+              radius=3.0, backend="sparse_interpret")
+    want = np.asarray(propagate_labels(
+        jnp.asarray(feats), jnp.asarray(labels0), jnp.asarray(key_indices),
+        **kw))
+    got = np.asarray(propagate_labels(
+        jnp.asarray(feats), jnp.asarray(labels0), jnp.asarray(key_indices),
+        mesh=make_mesh(n_dev), **kw))
+    np.testing.assert_array_equal(got, want)
 
 
 def test_mesh_rejected_for_non_sparse_backends():
@@ -130,14 +138,15 @@ def test_mesh_rejected_for_non_sparse_backends():
             mesh=make_mesh(2))
 
 
-def test_indivisible_tile_rows_rejected():
-    H, W = 24, 12  # 3 tile rows; mesh of 2 cannot band them equally
+def test_missing_mesh_axis_rejected():
+    H, W = 16, 16
     n_context, N_targets, C, n_lbl = 2, 3, 8, 3
     feats, labels0 = _setup(3, n_context, N_targets, C, H, W, n_lbl)
     key_indices = context_index_bank(n_context, [0], N_targets)
-    with pytest.raises(ValueError, match="divisible"):
+    with pytest.raises(ValueError, match="no axis"):
         propagate_labels(
             jnp.asarray(feats), jnp.asarray(labels0),
             jnp.asarray(key_indices), n_context=n_context, n_long=1,
             topk=4, temperature=0.07, radius=3.0,
-            backend="sparse_interpret", mesh=make_mesh(2))
+            backend="sparse_interpret", mesh=make_mesh(2),
+            data_axis="batch")

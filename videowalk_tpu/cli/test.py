@@ -256,24 +256,20 @@ def test(loader, model, variables, args):
         # sparse kernel is active: each step's query grid splits into
         # horizontal tile-row bands over the mesh (shard_map), keys stay
         # replicated, and the only per-step collective is the prediction
-        # all-gather. The usable device count must divide the tile-row
-        # total (sparse_shard_count; 8 at DAVIS-480p geometry).
+        # all-gather. Any geometry shards on any mesh size (bands past the
+        # grid are masked dead and dropped); devices beyond the tile-row
+        # count duplicate dead work, so only report the active ones.
         prop_mesh = None
         if mesh is not None and backend in ("sparse", "sparse_interpret"):
-            from jax.sharding import Mesh
-
             from videowalk_tpu.ops.prop_sparse_kernel import (
                 sparse_shard_count, sparse_tile)
 
             d = sparse_shard_count(int(feats.shape[2]), sparse_tile(),
                                    mesh.devices.size)
             if d > 1:
-                # all encode-mesh devices must appear in the computation
-                # (feats are sharded over them); surplus devices ride a
-                # trailing replica axis and duplicate a band's work
-                devs = np.asarray(mesh.devices).reshape(d, -1)
-                prop_mesh = Mesh(devs, ("data", "repl"))
-                print(f"propagation sharded over {d} devices", flush=True)
+                prop_mesh = mesh
+                print(f"propagation sharded: {d} active bands over "
+                      f"{mesh.devices.size} devices", flush=True)
         # feats stay device-resident end-to-end (host round-tripping the
         # ~400 MB feature stack cost ~10 s/video through the dev tunnel)
         preds = propagate_labels_bucketed(

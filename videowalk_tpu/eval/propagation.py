@@ -471,9 +471,11 @@ def _propagate_labels_sparse(feats, labels0, key_indices, *, n_context,
     re-assembled across devices by XLA when the replicated scan carry is
     updated — the only per-step collective is that (HW, n_lbl) all-gather.
     The scan itself stays sequential (autoregressive label dependency);
-    sharding lives inside each step. Requires the tile-row count
-    ``ceil(H/tile)`` to be divisible by the mesh size (``sparse_shard_count``
-    picks the largest usable device count)."""
+    sharding lives inside each step. Any mesh size works with any
+    geometry: each device takes ``ceil(tile_rows / D)`` tile rows, and
+    uneven splits zero-extend the layouts so trailing bands are masked
+    dead and dropped (``sparse_shard_count`` reports how many devices do
+    real work)."""
     from videowalk_tpu.ops.prop_sparse_kernel import (sparse_band_propagate,
                                                       long_rows_for_sparse,
                                                       pad_for_sparse,
@@ -512,18 +514,29 @@ def _propagate_labels_sparse(feats, labels0, key_indices, *, n_context,
     D = 1 if mesh is None else int(mesh.shape[data_axis])
     Hp = -(-H // tile) * tile
     Wp = -(-W // tile) * tile
-    if D > 1 and (Hp // tile) % D:
-        raise ValueError(
-            f"sharded sparse propagation needs ceil(H/tile)={Hp // tile} "
-            f"tile rows divisible by the mesh size {D} "
-            f"(use sparse_shard_count to pick a usable device count)")
+    # Band height: every device takes ceil(tile_rows / D) tile rows, so ANY
+    # geometry shards on ANY mesh size — when D does not divide the row
+    # count, the padded layouts are zero-extended below the grid so the
+    # trailing bands slice real (all-zero) rows; their windows fail the
+    # kernel's GLOBAL bounds mask (krow < r + H), every candidate is _NEG,
+    # and the garbage predictions land beyond row H where grid[:H] drops
+    # them. Devices past the last band duplicate dead work instead of
+    # desynchronizing the collective.
+    Hb = -(-(Hp // tile) // D) * tile if D > 1 else Hp
+    ext = D * Hb - Hp
+    if ext:
+        feats_pad = jnp.pad(feats_pad, ((0, 0), (0, ext), (0, 0), (0, 0)))
+        lbl_pad = jnp.pad(lbl_pad, ((0, 0), (0, ext), (0, 0), (0, 0)))
 
     def step(lbl_pad, idx_row):
         t_global = idx_row[-1] + 1
         fr = jax.lax.dynamic_index_in_dim(feats_pad, t_global, 0,
                                           keepdims=False)
+        # long rows use the PRE-extension raster (rows=Hh) so the candidate
+        # width — and the final matmul's reduction tree — matches the
+        # single-device layout bit for bit
         klong, llong = long_rows_for_sparse(feats_pad, lbl_pad,
-                                            idx_row[:n_long])
+                                            idx_row[:n_long], rows=Hh)
         if D == 1:
             query = jnp.moveaxis(fr[r:r + H, r:r + W], -1, 0).reshape(C, HW)
             pred = sparse_topk_propagate(
@@ -532,8 +545,8 @@ def _propagate_labels_sparse(feats, labels0, key_indices, *, n_context,
                 radius=radius, H=H, W=W, interpret=interpret,
                 tile=tile)                                  # (HW, NLP)
         else:
-            Hb = Hp // D                    # band query rows (tile-aligned)
-            qg = fr[r:r + Hp, r:r + Wp]     # (Hp, Wp, C) tile-aligned grid
+            # (D*Hb, Wp, C) band-aligned query grid (zeros past row Hp)
+            qg = fr[r:r + D * Hb, r:r + Wp]
 
             def body(qg_band, idx_b, feats_b, lbl_b, klong_b, llong_b):
                 off = jax.lax.axis_index(data_axis).astype(jnp.int32) * Hb
@@ -552,7 +565,7 @@ def _propagate_labels_sparse(feats, labels0, key_indices, *, n_context,
                 body, mesh=mesh,
                 in_specs=(P(data_axis), P(), P(), P(), P(), P()),
                 out_specs=P(data_axis), check_vma=False,
-            )(qg, idx_row, feats_pad, lbl_pad, klong, llong)  # (Hp, Wp, NLP)
+            )(qg, idx_row, feats_pad, lbl_pad, klong, llong)  # (D*Hb,Wp,NLP)
             pred = grid[:H, :W].reshape(HW, NLP)
         # Reference quirk (code/test.py:156-160): the FIRST target's
         # prediction is replaced by the ground-truth frame-0 labels.

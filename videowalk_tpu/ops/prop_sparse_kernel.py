@@ -356,19 +356,17 @@ def sparse_tile() -> int:
 
 
 def sparse_shard_count(H: int, tile: int, n_devices: int) -> int:
-    """Usable band count for sharded sparse propagation at height ``H``
-    on an ``n_devices`` host: the query grid splits into ``ceil(H/tile)``
-    tile rows and each device takes an equal contiguous band, so the count
-    must divide the tile-row total — AND it must divide ``n_devices``,
-    because the eval driver folds ALL devices into the propagation mesh
-    (the features arrive sharded over every device; surplus devices ride
-    a trailing replica axis, which only reshapes when bands | devices).
-    The largest number dividing both is their gcd. DAVIS-480p (H=60,
-    tile=8) -> 8 tile rows -> all 8 devices of a v5e-8."""
-    import math
-
+    """ACTIVE band count for sharded sparse propagation at height ``H`` on
+    an ``n_devices`` mesh: each device takes ``ceil(tile_rows / D)`` tile
+    rows (the layouts zero-extend so uneven splits stay exact — trailing
+    bands are masked dead and dropped), so the number of devices doing
+    real work is ``ceil(rows / ceil(rows / D))``. DAVIS-480p (H=60,
+    tile=8): 8 rows -> all 8 devices of a v5e-8; JHMDB 320px (H=40):
+    5 rows -> 5 of 8."""
     nth = -(-H // tile)
-    return math.gcd(nth, max(1, int(n_devices)))
+    D = max(1, int(n_devices))
+    per_band = -(-nth // D)
+    return -(-nth // per_band)
 
 
 def sparse_halo(radius: float, tile: int) -> int:
@@ -417,14 +415,26 @@ def pad_for_sparse(feats: jax.Array, radius: float, H: int, W: int,
 
 
 def long_rows_for_sparse(feats_pad: jax.Array, lbl_pad: jax.Array,
-                         long_idx) -> tuple[jax.Array, jax.Array]:
-    """Long-term key/label rows in the kernel's (HWLp, ...) layout."""
+                         long_idx, rows: int | None = None
+                         ) -> tuple[jax.Array, jax.Array]:
+    """Long-term key/label rows in the kernel's (HWLp, ...) layout.
+
+    ``rows`` restricts the raster to the first ``rows`` padded rows — the
+    sharded path passes the pre-extension row count so the candidate width
+    (and with it the exact reduction tree of the kernel's final
+    ``U @ labels`` matmul) is identical to the single-device layout,
+    keeping sharded-vs-single parity bitwise rather than 1-ULP.
+    """
     N, Hh, Wh, C = feats_pad.shape
+    if rows is None:
+        rows = Hh
     nl = lbl_pad.shape[-1]
-    HWLp = _align(Hh * Wh, 128)
-    k = feats_pad[jnp.asarray(long_idx)].reshape(len(long_idx), Hh * Wh, C)
-    l = lbl_pad[jnp.asarray(long_idx)].reshape(len(long_idx), Hh * Wh, nl)
-    pad = HWLp - Hh * Wh
+    HWLp = _align(rows * Wh, 128)
+    k = feats_pad[jnp.asarray(long_idx)][:, :rows].reshape(
+        len(long_idx), rows * Wh, C)
+    l = lbl_pad[jnp.asarray(long_idx)][:, :rows].reshape(
+        len(long_idx), rows * Wh, nl)
+    pad = HWLp - rows * Wh
     if pad:
         k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
         l = jnp.pad(l, ((0, 0), (0, pad), (0, 0)))

@@ -45,7 +45,8 @@ def test_run_one_sbatch_emits_script(tmp_path, monkeypatch):
     ckpt.write_bytes(b"x")
     args = types.SimpleNamespace(
         out_dir=str(tmp_path / "sweep"), filelist="fl.txt",
-        model_type="scratch", davis="/data/DAVIS", cropSize=-1, sbatch=True)
+        model_type="scratch", davis="/data/DAVIS", cropSize=-1, sbatch=True,
+        data_parallel=True)
     res = run_one(str(ckpt), 20, 10, 0.05, 12.0, args)
     assert res["submitted"]
     script = os.path.join(args.out_dir, "model_5_L20_K10_T0.05_R12.0",
@@ -53,6 +54,7 @@ def test_run_one_sbatch_emits_script(tmp_path, monkeypatch):
     body = open(script).read()
     assert "videowalk_tpu.cli.test" in body and "convert_davis" in body \
         and "davis_metrics" in body
+    assert "--data-parallel" in body  # forwarded to each test.py run
     assert calls and calls[0][0][0] == "sbatch"
 
 

@@ -1,0 +1,180 @@
+"""Same-process A/B harness for the flagship train step.
+
+Every dispatch/gating change must be A/B'd on the FULL step in ONE process
+before adoption (CLAUDE.md measurement discipline; round 3: a 0.3 ms
+isolated per-conv win cost 7 ms in-context, and cross-process variance is
+±15%, so only same-process comparisons are meaningful). This harness makes
+that one command:
+
+    python tools/ab_flagship.py \
+        --variant base \
+        --variant rconv_off:VIDEOWALK_RCONV=off \
+        --variant fuse_always:VIDEOWALK_REFLECT_FUSE=always
+
+Each variant sets its env BEFORE its own trace (the perf switches are read
+at trace time), builds a fresh jitted K-step loop, and is timed by the
+difference quotient between a K1-step and a K2-step call — this cancels
+the fixed dispatch+fetch cost of the dev tunnel and measures pure on-chip
+step time. Sync is a real device->host ``float()`` fetch
+(``jax.block_until_ready`` is a NO-OP through some remote-device tunnels).
+Variants are interleaved over ``--rounds`` passes so slow drift (thermal,
+tunnel load) hits every variant equally; the summary reports per-variant
+min/mean.
+
+Emits one JSON line per measurement and a ranked summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+# runnable as `python tools/ab_flagship.py` from the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_step(batch_size: int, clip_len: int, n_patches: int, patch: int,
+               remat: bool):
+    """Fresh model + jitted K-step loop (new trace, current env)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from videowalk_tpu.models import CRW, CRWConfig
+    from videowalk_tpu.parallel import create_train_state, make_optimizer
+
+    model = CRW(CRWConfig(model_type="scratch", temperature=0.05,
+                          edgedrop_rate=0.1, dtype=jnp.bfloat16,
+                          remat=remat))
+    optimizer = make_optimizer(lr=3e-4)
+    rng = np.random.RandomState(0)
+    batch = jnp.asarray(
+        rng.randn(batch_size, clip_len, n_patches, patch, patch, 3)
+        .astype(np.float32))
+    state = create_train_state(model, optimizer, batch[:1],
+                               jax.random.PRNGKey(0))
+
+    def one_step(state, batch, key):
+        def loss_fn(params, batch_stats):
+            (q, loss, diags), upd = model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch,
+                train=True, rngs={"dropout": key}, mutable=["batch_stats"])
+            return loss, upd.get("batch_stats", batch_stats)
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(params=params, batch_stats=new_stats,
+                             opt_state=opt_state, step=state.step + 1), loss
+
+    @partial(jax.jit, static_argnums=(3,))
+    def run_k(state, batch, key, k):
+        def body(i, carry):
+            st, _ = carry
+            st, loss = one_step(st, batch, jax.random.fold_in(key, i))
+            return st, loss
+
+        return jax.lax.fori_loop(0, k, body, (state, jnp.float32(0)))
+
+    key = jax.random.PRNGKey(1)
+
+    def timed(k):
+        t0 = time.perf_counter()
+        _, loss = run_k(state, batch, key, k)
+        loss = float(loss)  # force the device->host fetch (real sync)
+        assert np.isfinite(loss), f"non-finite loss {loss}"
+        return time.perf_counter() - t0
+
+    return timed
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--variant", action="append", required=True,
+                   help="NAME[:ENV=V[,ENV=V...]] — env applied before this "
+                        "variant's trace; unlisted vars are RESTORED to the "
+                        "process's startup value between variants")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--clip-len", type=int, default=8)
+    p.add_argument("--n-patches", type=int, default=49)
+    p.add_argument("--patch", type=int, default=64)
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--k1", type=int, default=2)
+    p.add_argument("--k2", type=int, default=12)
+    p.add_argument("--rounds", type=int, default=3,
+                   help="interleaved measurement passes per variant")
+    args = p.parse_args(argv)
+
+    variants = []
+    touched = set()
+    for spec in args.variant:
+        name, _, envs = spec.partition(":")
+        env = {}
+        if envs:
+            for kv in envs.split(","):
+                k, _, v = kv.partition("=")
+                env[k.strip()] = v.strip()
+                touched.add(k.strip())
+        variants.append((name, env))
+    base_env = {k: os.environ.get(k) for k in touched}
+
+    def apply_env(env):
+        for k, v in base_env.items():   # restore, then overlay
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+        os.environ.update(env)
+
+    # the JAX_PLATFORMS env var alone is shadowed by injected TPU PJRT
+    # plugins on some images; re-assert it through the config API like the
+    # CLI drivers do (utils/platform.py), BEFORE the backend initializes
+    from videowalk_tpu.utils.platform import respect_jax_platforms_env
+
+    respect_jax_platforms_env()
+    import jax
+
+    print(f"# devices: {jax.devices()}", flush=True)
+
+    timers = {}
+    for name, env in variants:
+        apply_env(env)
+        timers[name] = build_step(args.batch, args.clip_len, args.n_patches,
+                                  args.patch, args.remat)
+        timers[name](args.k1)   # compile both trip counts
+        timers[name](args.k2)
+
+    steps = {name: [] for name, _ in variants}
+    for r in range(args.rounds):
+        for name, env in variants:
+            apply_env(env)      # harmless post-trace; keeps logs truthful
+            t1 = timers[name](args.k1)
+            t2 = timers[name](args.k2)
+            step_ms = (t2 - t1) / (args.k2 - args.k1) * 1e3
+            steps[name].append(step_ms)
+            print(json.dumps({"variant": name, "round": r,
+                              "step_ms": round(step_ms, 2)}), flush=True)
+
+    print("\n== summary (full-step ms, lower is better) ==")
+    ranked = sorted(steps.items(), key=lambda kv: min(kv[1]))
+    for name, ms in ranked:
+        clips = args.batch / (min(ms) / 1e3)
+        print(json.dumps({
+            "variant": name, "min_ms": round(min(ms), 2),
+            "mean_ms": round(float(np.mean(ms)), 2),
+            "clips_per_s": round(clips, 1)}))
+    best = ranked[0]
+    print(f"# best: {best[0]} ({min(best[1]):.1f} ms); adopt only if the "
+          f"win holds across rounds — see CLAUDE.md measurement rules")
+
+
+if __name__ == "__main__":
+    main()

@@ -51,7 +51,9 @@ def run_one(ckpt: str, L: int, K: int, T: float, R: float, args) -> dict:
          "--radius", str(R), "--temperature", str(T),
          "--cropSize", str(args.cropSize),
          "--workers", str(getattr(args, "workers", 4)),
-         "--prop-backend", getattr(args, "prop_backend", "auto")],
+         "--prop-backend", getattr(args, "prop_backend", "auto")]
+        + (["--data-parallel"] if getattr(args, "data_parallel", False)
+           else []),
         [sys.executable, "-m", "videowalk_tpu.eval.convert_davis",
          "-i", save_path, "-o", masks_path, "-d", args.davis],
         [sys.executable, "-m", "videowalk_tpu.eval.davis_metrics",
@@ -93,6 +95,10 @@ def main(argv=None):
     parser.add_argument("--prop-backend", default="auto",
                         choices=["auto", "xla", "tiled", "windowed",
                                  "sparse", "sparse_interpret"])
+    parser.add_argument("--data-parallel", dest="data_parallel",
+                        action="store_true",
+                        help="shard encode + sparse propagation over all "
+                             "local devices in each test.py run")
     args = parser.parse_args(argv)
 
     ckpts = [newest_model(c) for c in args.checkpoints]

@@ -238,6 +238,22 @@ def test_eval_sharded_propagation_matches_single_device(filelist, tmp_path):
     assert n > 0
 
 
+def test_eval_profile_dir_writes_trace(filelist, tmp_path):
+    """--profile-dir traces one warm video (video 1 of 2 here) — the eval
+    analogue of train's steps-5-9 trace (SURVEY §5 tracing plan)."""
+    from videowalk_tpu.cli.test import main as test_main
+
+    prof = str(tmp_path / "trace")
+    args = make_args(filelist, str(tmp_path / "out"))
+    args.profile_dir = prof
+    test_main(args)
+    hits = []
+    for root, _, files in os.walk(prof):
+        hits += [f for f in files if f.endswith((".pb", ".json.gz",
+                                                 ".trace.json.gz"))]
+    assert hits, f"no profiler artifacts under {prof}"
+
+
 def test_davis_metrics_perfect_and_empty(davis_root, tmp_path):
     """J&F == 1 when predictions equal ground truth."""
     from videowalk_tpu.eval.davis_metrics import evaluate_sequence

@@ -196,8 +196,21 @@ def test(loader, model, variables, args):
         print(f"eval data-parallel over {mesh.devices.size} devices",
               flush=True)
 
+    # --profile-dir: jax.profiler trace of ONE video (eval analogue of
+    # train's steps-5-9 trace). Video 1 when there are at least two, so the
+    # trace shows warm-cache encode/propagation instead of compile time.
+    profile_dir = getattr(args, "profile_dir", "")
+    try:
+        profile_vid = 1 if len(loader) > 1 else 0
+    except TypeError:
+        profile_vid = 0
+    profiling = False
+
     for vid_idx, (imgs, imgs_orig, lbls_resize, lbls_orig, lbl_map, meta) \
             in enumerate(_prefetch_iter(loader)):
+        if profile_dir and vid_idx == profile_vid and not profiling:
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
         t_vid = time.time()
         N = imgs.shape[0]
         print(f"******* Vid {vid_idx} ({N} frames) *******", flush=True)
@@ -330,6 +343,10 @@ def test(loader, model, variables, args):
 
         print(f"******* Vid {vid_idx} TOOK {time.time() - t_vid} *******",
               flush=True)
+        if profiling:
+            jax.profiler.stop_trace()
+            profiling = False
+            print(f"profiler trace written to {profile_dir}", flush=True)
 
 
 def main(args):

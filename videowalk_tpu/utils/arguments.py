@@ -82,6 +82,10 @@ def test_args(argv=None):
     parser.add_argument("--data-parallel", dest="data_parallel",
                         action="store_true",
                         help="shard eval encoding over all local TPU devices")
+    # TPU extension: jax.profiler trace of one video's eval (encode +
+    # propagation + dumps) — the eval analogue of train's --profile-dir
+    parser.add_argument("--profile-dir", default="", type=str,
+                        help="write a jax.profiler trace of video 0 here")
 
     args = parser.parse_args(argv)
     args.device = "tpu"

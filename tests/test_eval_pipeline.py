@@ -238,7 +238,7 @@ def test_eval_sharded_propagation_matches_single_device(filelist, tmp_path):
     assert n > 0
 
 
-def test_eval_profile_dir_writes_trace(filelist, tmp_path):
+def test_eval_profile_dir_writes_trace(filelist, tmp_path, capsys):
     """--profile-dir traces one warm video (video 1 of 2 here) — the eval
     analogue of train's steps-5-9 trace (SURVEY §5 tracing plan)."""
     from videowalk_tpu.cli.test import main as test_main
@@ -252,6 +252,12 @@ def test_eval_profile_dir_writes_trace(filelist, tmp_path):
         hits += [f for f in files if f.endswith((".pb", ".json.gz",
                                                  ".trace.json.gz"))]
     assert hits, f"no profiler artifacts under {prof}"
+    # the WARM video (1 of 2) is the one traced, not the compile-heavy
+    # video 0 (the whole point of the feature; a len() probe on the
+    # generator loader once silently defeated it)
+    out = capsys.readouterr().out
+    assert out.index("profiler trace written") > out.index("Vid 1")
+    assert "profiler trace written" not in out[:out.index("Vid 1")]
 
 
 def test_davis_metrics_perfect_and_empty(davis_root, tmp_path):

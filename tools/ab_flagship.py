@@ -41,13 +41,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def build_step(batch_size: int, clip_len: int, n_patches: int, patch: int,
                remat: bool):
-    """Fresh model + jitted K-step loop (new trace, current env)."""
+    """Fresh model + jitted K-step loop (new trace, current env).
+
+    The loop body is the PRODUCTION step (parallel/train_step.
+    make_train_step — the same function the train CLI and dryrun run),
+    not a re-implementation: a gating change whose cost interacts with
+    the diags/metrics in the real graph must be measured against the
+    real graph."""
     import jax
     import jax.numpy as jnp
-    import optax
 
     from videowalk_tpu.models import CRW, CRWConfig
-    from videowalk_tpu.parallel import create_train_state, make_optimizer
+    from videowalk_tpu.parallel import (create_train_state, make_optimizer,
+                                        make_train_step)
 
     model = CRW(CRWConfig(model_type="scratch", temperature=0.05,
                           edgedrop_rate=0.1, dtype=jnp.bfloat16,
@@ -59,28 +65,16 @@ def build_step(batch_size: int, clip_len: int, n_patches: int, patch: int,
         .astype(np.float32))
     state = create_train_state(model, optimizer, batch[:1],
                                jax.random.PRNGKey(0))
-
-    def one_step(state, batch, key):
-        def loss_fn(params, batch_stats):
-            (q, loss, diags), upd = model.apply(
-                {"params": params, "batch_stats": batch_stats}, batch,
-                train=True, rngs={"dropout": key}, mutable=["batch_stats"])
-            return loss, upd.get("batch_stats", batch_stats)
-
-        (loss, new_stats), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats)
-        updates, opt_state = optimizer.update(grads, state.opt_state,
-                                              state.params)
-        params = optax.apply_updates(state.params, updates)
-        return state.replace(params=params, batch_stats=new_stats,
-                             opt_state=opt_state, step=state.step + 1), loss
+    # donate=False: the step is called inside the outer jit's fori_loop
+    # (donation is meaningless mid-trace) and again as the carry seed
+    one_step = make_train_step(model, optimizer, donate=False)
 
     @partial(jax.jit, static_argnums=(3,))
     def run_k(state, batch, key, k):
         def body(i, carry):
             st, _ = carry
-            st, loss = one_step(st, batch, jax.random.fold_in(key, i))
-            return st, loss
+            st, metrics = one_step(st, batch, jax.random.fold_in(key, i))
+            return st, metrics["loss"]
 
         return jax.lax.fori_loop(0, k, body, (state, jnp.float32(0)))
 

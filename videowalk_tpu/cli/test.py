@@ -184,7 +184,7 @@ def _prefetch_iter(gen, depth: int = 1):
         stop.set()
 
 
-def test(loader, model, variables, args):
+def test(loader, model, variables, args, n_videos=None):
     n_context = args.videoLen
 
     mesh = None
@@ -197,13 +197,11 @@ def test(loader, model, variables, args):
               flush=True)
 
     # --profile-dir: jax.profiler trace of ONE video (eval analogue of
-    # train's steps-5-9 trace). Video 1 when there are at least two, so the
+    # train's steps-5-9 trace). Video 1 when there are at least two
+    # (n_videos comes from main — the loader itself is a generator), so the
     # trace shows warm-cache encode/propagation instead of compile time.
     profile_dir = getattr(args, "profile_dir", "")
-    try:
-        profile_vid = 1 if len(loader) > 1 else 0
-    except TypeError:
-        profile_vid = 0
+    profile_vid = 1 if (n_videos or 0) > 1 else 0
     profiling = False
 
     for vid_idx, (imgs, imgs_orig, lbls_resize, lbls_orig, lbl_map, meta) \
@@ -390,7 +388,16 @@ def main(args):
 
     os.makedirs(args.save_path, exist_ok=True)
     loader = (dataset[i] for i in range(len(dataset)))
-    test(loader, model, variables, args)
+    try:
+        test(loader, model, variables, args, n_videos=len(dataset))
+    finally:
+        # flush a profiler session left open if test() raised mid-trace —
+        # minutes of device work would otherwise yield no artifacts
+        if getattr(args, "profile_dir", ""):
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass  # no trace was active (the normal success path)
 
 
 if __name__ == "__main__":

@@ -85,7 +85,8 @@ def test_args(argv=None):
     # TPU extension: jax.profiler trace of one video's eval (encode +
     # propagation + dumps) — the eval analogue of train's --profile-dir
     parser.add_argument("--profile-dir", default="", type=str,
-                        help="write a jax.profiler trace of video 0 here")
+                        help="write a jax.profiler trace of one warm video "
+                             "(video 1 when available, else video 0) here")
 
     args = parser.parse_args(argv)
     args.device = "tpu"

@@ -148,3 +148,56 @@ def test_vis_adj_saves_figure(tmp_path):
     As = [np.random.rand(4, 4)]
     path = vis_adj(video, seg, As, vis, orig)
     assert os.path.exists(path)
+
+
+def test_vis_flow_plt_unstable_grid_sizes():
+    """Float-step np.mgrid produced H+2 anchor rows for pairs like
+    (Ih=256, H=48), crashing quiver — the linspace form is exact."""
+    from videowalk_tpu.utils.visualize import vis_flow_plt
+
+    rng = np.random.RandomState(0)
+    for Ih, H in [(256, 48), (400, 28), (480, 25), (256, 16)]:
+        u = rng.randint(-2, 3, (1, H, H))
+        v = rng.randint(-2, 3, (1, H, H))
+        x1 = rng.rand(3, Ih, Ih).astype(np.float32)
+        A = rng.rand(H * H, H * H).astype(np.float32)
+        fig = vis_flow_plt(u, v, x1, None, A)
+        assert fig is not None
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+
+
+def test_make_gif_layout_and_dtype():
+    """uint8 channel-first input must not take the *255 modulo-wrap, and
+    out-of-range floats are clipped before the uint8 cast."""
+    from videowalk_tpu.utils.visualize import make_gif
+
+    rng = np.random.RandomState(1)
+    u8 = rng.randint(0, 256, (3, 3, 16, 16), np.uint8)      # (N,3,H,W) uint8
+    out = make_gif(u8, outname=None, sz=8)
+    assert out.dtype == np.uint8 and out.shape == (3, 8, 8, 3)
+    # a solid-200 frame must stay ~200, not wrap to 200*255 % 256
+    solid = np.full((2, 3, 16, 16), 200, np.uint8)
+    out = make_gif(solid, outname=None, sz=8)
+    assert abs(int(out.mean()) - 200) <= 1
+    # floats slightly out of [0,1] clip instead of wrapping
+    f = np.full((2, 16, 16, 3), 1.02, np.float32)
+    out = make_gif(f, outname=None, sz=8)
+    assert out.min() == 255
+
+
+def test_visualize_jsonl_non_numeric(tmp_path):
+    """The JSONL fallback accepts non-numeric values like the wandb path
+    does (string metadata used to crash it)."""
+    import json as _json
+    import types
+
+    from videowalk_tpu.utils.visualize import Visualize
+
+    vis = Visualize(types.SimpleNamespace(name="t", logs_dir=str(tmp_path)))
+    vis.wandb_init()
+    vis.log({"loss": 0.5, "phase": "train"})
+    rec = _json.loads(
+        open(tmp_path / "metrics.jsonl").read().splitlines()[-1])
+    assert rec["loss"] == 0.5 and rec["phase"] == "train"

@@ -148,8 +148,12 @@ def train_one_epoch(args, models, steps, state, data_loader, epoch, mesh,
     total_steps = min(args.steps_per_epoch, len(data_loader))
 
     try:
+        # total=total_steps: with --steps-per-epoch below the loader length
+        # the ETA and the [i/total] counter must count to the real stop
+        # point, not the full loader (otherwise ETA inflates by the ratio)
         for step_i, (views, sp_mask, _label) in enumerate(
-                metric_logger.log_every(data_loader, args.print_freq, header)):
+                metric_logger.log_every(data_loader, args.print_freq, header,
+                                        total=total_steps)):
             if step_i >= args.steps_per_epoch:
                 break
             if device_augs:

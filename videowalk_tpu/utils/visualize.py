@@ -37,6 +37,23 @@ except Exception:  # pragma: no cover
     _wandb = None
 
 
+def _require_cv2(what: str):
+    """Figure/gif helpers need opencv; fail with the actual problem instead
+    of 'NoneType has no attribute' (loud-failure convention)."""
+    if cv2 is None:
+        raise RuntimeError(f"{what} requires opencv-python (cv2), which "
+                           f"failed to import in this environment")
+    return cv2
+
+
+def _normalize01(x: np.ndarray) -> np.ndarray:
+    """Min-max to [0,1] with a 1e-12 floor (single authority — three
+    call sites previously re-implemented this with subtle variations)."""
+    x = np.asarray(x)
+    lo = x.min()
+    return (x - lo) / max(x.max() - lo, 1e-12)
+
+
 def pca_feats(ff: np.ndarray, K: int = 1, whiten: bool = True,
               img_normalize: bool = True):
     """PCA feature maps -> RGB images (reference :22-44).
@@ -57,18 +74,22 @@ def pca_feats(ff: np.ndarray, K: int = 1, whiten: bool = True,
     pca_ff = comps.reshape(N, H, W, 3 * K).transpose(0, 3, 1, 2)
     outs = [pca_ff[:, kk:kk + 3] for kk in range(0, 3 * K, 3)]
     if img_normalize:
-        outs = [(x - x.min()) / max(x.max() - x.min(), 1e-12) for x in outs]
+        outs = [_normalize01(x) for x in outs]
     return outs[0] if K == 1 else outs
 
 
 def make_gif(video: np.ndarray, outname: str | None = "/tmp/test.gif",
              sz: int = 256):
-    """(N, 3, H, W) float or (N, H, W, 3) uint8 -> resized gif/stack
-    (reference :46-60)."""
+    """(N, 3, H, W) or (N, H, W, 3), float [0,1] or uint8 -> resized
+    gif/stack (reference :46-60). Layout and value range are handled
+    independently: a channel-first uint8 video must NOT take the *255
+    modulo-wrap, and floats are clipped before the uint8 cast."""
+    _require_cv2("make_gif")
     video = np.asarray(video)
-    if video.ndim == 4 and video.shape[1] == 3:
+    if video.ndim == 4 and video.shape[1] == 3 and video.shape[-1] != 3:
         video = video.transpose(0, 2, 3, 1)
-        video = (video * 255).astype(np.uint8)
+    if video.dtype != np.uint8:
+        video = (np.clip(video, 0.0, 1.0) * 255).astype(np.uint8)
     video = [cv2.resize(v, (sz, sz)) for v in video]
     if outname is None:
         return np.stack(video)
@@ -98,6 +119,8 @@ def draw_matches(x1, x2, i1, i2):
     match feature columns of two frames with cv2.BFMatcher and render the
     matches over the resized frames. x1/x2: (C, N) features; i1/i2:
     (3, H, W) images in [0, 1]."""
+    _require_cv2("draw_matches")
+
     def detach(x):
         return np.asarray(x).transpose(1, 2, 0) * 255
 
@@ -148,12 +171,18 @@ def vis_flow_plt(u, v, x1, x2, A):
     I = np.asarray(x1)
     H, W = flows.shape[:2]
     Ih, Iw = I.shape[-2:]
-    mx, my = np.mgrid[0:Ih:Ih / (H + 1), 0:Iw:Iw / (W + 1)][:, 1:, 1:]
+    # anchor points k*Ih/(H+1), k=1..H — same positions as the reference's
+    # float-step mgrid[...][1:], but exact: the float-step form yields H+2
+    # rows for some (Ih, H) pairs (e.g. 256/48, 480/25), which crashed
+    # quiver on a (H+1, W) vs (H, W) shape mismatch
+    ys = np.linspace(0, Ih, H + 2)[1:-1]
+    xs = np.linspace(0, Iw, W + 2)[1:-1]
+    mx, my = np.meshgrid(ys, xs, indexing="ij")
 
     fig, ax = plt.subplots()
     ax.imshow(I.transpose(1, 2, 0))
     ent = (A * np.log(np.clip(A, 1e-20, None))).sum(-1)
-    Cc = cm.jet((ent - ent.min()) / max(ent.max() - ent.min(), 1e-12))
+    Cc = cm.jet(_normalize01(ent))
     ax.quiver(my, mx, flows[..., 0], flows[..., 1] * -1, color=Cc.reshape(-1, 4))
     return fig
 
@@ -166,37 +195,57 @@ class Visualize:
         self._env_name = getattr(args, "name", "videowalk_tpu")
         self.args = args
         self._init = False
+        self._use_wandb = False
         self._jsonl = None
         self.vis = None  # visdom handle in the reference; kept for API parity
+
+    def _logs_dir(self) -> str:
+        logs_dir = getattr(self.args, "logs_dir", ".") or "."
+        os.makedirs(logs_dir, exist_ok=True)
+        return logs_dir
+
+    def _open_jsonl(self):
+        self._jsonl = open(os.path.join(self._logs_dir(),
+                                        "metrics.jsonl"), "a")
 
     def wandb_init(self, model=None):
         if self._init:
             return
         self._init = True
         if _wandb is not None:
-            _wandb.init(project="dilated-superpixels", group="main",
-                        config=vars(self.args)
-                        if hasattr(self.args, "__dict__") else {})
+            # a failed init (no API key, offline host) must not kill the
+            # training run or silently drop metrics — fall back to JSONL
+            try:
+                _wandb.init(project="dilated-superpixels", group="main",
+                            config=vars(self.args)
+                            if hasattr(self.args, "__dict__") else {})
+                self._use_wandb = True
+            except Exception as e:  # pragma: no cover — needs a wandb env
+                print(f"WARNING: wandb.init failed ({e}); logging to "
+                      f"metrics.jsonl instead", flush=True)
+                self._open_jsonl()
         else:
-            logs_dir = getattr(self.args, "logs_dir", ".") or "."
-            os.makedirs(logs_dir, exist_ok=True)
-            self._jsonl = open(os.path.join(logs_dir, "metrics.jsonl"), "a")
+            self._open_jsonl()
 
     def log(self, key_vals: dict):
         if not self._init:
             self.wandb_init()
-        if _wandb is not None and _wandb.run is not None:
+        if self._use_wandb and _wandb.run is not None:
             _wandb.log(key_vals)
         elif self._jsonl is not None:
             rec = {"t": time.time()}
-            rec.update({k: float(v) for k, v in key_vals.items()})
+            for k, v in key_vals.items():
+                # wandb accepts arbitrary scalars; mirror that instead of
+                # crashing the fallback on the first non-numeric value
+                try:
+                    rec[k] = float(v)
+                except (TypeError, ValueError):
+                    rec[k] = str(v)
             self._jsonl.write(json.dumps(rec) + "\n")
             self._jsonl.flush()
 
     def save_figure(self, fig, name: str):
-        logs_dir = getattr(self.args, "logs_dir", ".") or "."
-        os.makedirs(logs_dir, exist_ok=True)
-        path = os.path.join(logs_dir, f"{name}.png")
+        path = os.path.join(self._logs_dir(), f"{name}.png")
         fig.savefig(path)
         import matplotlib.pyplot as plt
 
@@ -205,11 +254,10 @@ class Visualize:
 
     def save_image(self, img: np.ndarray, name: str):
         """img: (C, H, W) or (H, W, C) float [0,1]."""
-        logs_dir = getattr(self.args, "logs_dir", ".") or "."
-        os.makedirs(logs_dir, exist_ok=True)
+        _require_cv2("Visualize.save_image")
         if img.ndim == 3 and img.shape[0] in (1, 3):
             img = img.transpose(1, 2, 0)
-        path = os.path.join(logs_dir, f"{name}.png")
+        path = os.path.join(self._logs_dir(), f"{name}.png")
         cv2.imwrite(path, (np.clip(img, 0, 1) * 255).astype(np.uint8)[..., ::-1])
         return path
 
@@ -220,8 +268,7 @@ class Visualize:
 def nn_patches(vis: Visualize, P, A_k, prefix="", N=10, K=20):
     """Nearest-neighbor patch browser (reference :134-160): for N random
     query patches, tile the top-K neighbors by affinity; saved as PNG grids."""
-    P = np.asarray(P, np.float64)
-    P = (P - P.min()) / max(P.max() - P.min(), 1e-12)
+    P = _normalize01(np.asarray(P, np.float64))
     A_k = np.asarray(A_k)
     I = np.argsort(-A_k, axis=-1)
     rng = np.random.RandomState(0)
@@ -235,10 +282,11 @@ def frame_pair(x, ff, mm, t1, t2, A, AA, xent_loss, vis: Visualize):
     """Walk diagnostics for a random frame pair (reference :208-286):
     PCA of embeddings, flow quiver, and the per-node loss-colored walk maps.
     Saves PNGs through ``vis``."""
-    def normalize(xx):
-        return (xx - xx.min()) / max((xx - xx.min()).max(), 1e-12)
-
-    x, ff, mm = np.asarray(x), np.asarray(ff), np.asarray(mm)
+    # ff (full per-frame features) is accepted for reference-API parity but
+    # unused by this panel — do NOT np.asarray it (that would force a
+    # device->host transfer of the whole feature stack for nothing)
+    del ff
+    x, mm = np.asarray(x), np.asarray(mm)
     A, AA = np.asarray(A), np.asarray(AA)
     xent_loss = np.asarray(xent_loss)
 
@@ -246,7 +294,7 @@ def frame_pair(x, ff, mm, t1, t2, A, AA, xent_loss, vis: Visualize):
     H = W = int(N ** 0.5)
     if H * W == N and x.ndim < 6:
         # whole-image input: PCA + flow panel
-        x1 = normalize(x[0, t1].transpose(2, 0, 1))  # (3, H, W) from NTHWC
+        x1 = _normalize01(x[0, t1].transpose(2, 0, 1))  # (3, H, W) from NTHWC
         u, v = compute_flow(A[0:1])
         fig = vis_flow_plt(u, v, x1, None, A[0])
         vis.save_figure(fig, f"flow_quiver_{t1}_{t2}")
@@ -266,17 +314,24 @@ def frame_pair(x, ff, mm, t1, t2, A, AA, xent_loss, vis: Visualize):
 
     if H * W == N:
         # loss-colored walk maps (reference :261-286)
-        from matplotlib import cm
+        _require_cv2("frame_pair loss maps")
+        import matplotlib
 
+        try:                    # stable accessor (matplotlib >= 3.5)
+            cmap = matplotlib.colormaps["winter"]
+        except AttributeError:  # pragma: no cover — older matplotlib
+            from matplotlib import cm
+
+            cmap = cm.get_cmap("winter")
         AAm = AA.reshape(-1, H * W, H, W)
-        xx = normalize(xent_loss[:H * W])
+        xx = _normalize01(xent_loss[:H * W])
         tiles = []
         for idx in range(H * W):
             aa = AAm[0, idx][..., None]
             tile = cv2.resize(aa, (50, 50),
                               interpolation=cv2.INTER_NEAREST)[None]
             tile = np.repeat(tile, 3, 0) * np.asarray(
-                cm.get_cmap("winter")(float(xx[idx])))[:3, None, None]
+                cmap(float(xx[idx])))[:3, None, None]
             tiles.append(tile / max(tile.max(), 1e-12))
         vis.save_image(make_grid(np.asarray(tiles), nrow=H),
                        f"lossvis_{t1}_{t2}")
@@ -299,6 +354,7 @@ def _mark_boundaries(img: np.ndarray, seg: np.ndarray,
 def vis_adj(video, sp_mask, As, vis: Visualize, orig_unnorm):
     """Superpixel boundary + adjacency heatmap panel (reference :296-345,
     with the live breakpoint removed)."""
+    _require_cv2("vis_adj")
     import matplotlib
 
     matplotlib.use("Agg")

@@ -65,3 +65,42 @@ def test_vip_pipeline_and_metrics(vip_root, tmp_path):
     res = show_result(hist)
     assert 0.0 <= res["mIoU"] <= 1.0
     assert res["overall_acc"] > 0.3  # background dominates; random feats ok
+
+
+def test_fast_hist_out_of_range_prediction():
+    """A void/out-of-class pixel in the dumped mask must be filtered, not
+    crash the reshape after the whole sweep ran."""
+    from videowalk_tpu.eval.eval_vip import N_CL, fast_hist
+
+    a = np.array([0, 1, 2, 3])           # GT
+    b = np.array([0, 255, 2, 19])        # prediction with a void pixel
+    h = fast_hist(a, b, N_CL)
+    assert h.shape == (N_CL, N_CL)
+    assert h.sum() == 3                  # the 255 pair dropped
+    assert h[0, 0] == 1 and h[2, 2] == 1 and h[3, 19] == 1
+
+
+def test_show_result_empty_hist_raises():
+    """A misconfigured -p/-g pair yields an empty histogram; that must be
+    a loud error, not 'overall accuracy nan' with exit 0."""
+    from videowalk_tpu.eval.eval_vip import N_CL, show_result
+
+    with pytest.raises(RuntimeError, match="empty confusion histogram"):
+        show_result(np.zeros((N_CL, N_CL)))
+
+
+def test_dump_predictions_extension_only_replace(tmp_path):
+    """The VIP path HACK must swap only the .jpg extension — a directory
+    component containing 'jpg' used to be rewritten too, sending masks
+    into a nonexistent tree."""
+    from videowalk_tpu.eval.test_utils import dump_predictions
+
+    d = tmp_path / "jpg_frames" / "videos1"
+    d.mkdir(parents=True)
+    pred = np.zeros((4, 4, 2), np.float32)
+    pred[..., 1] = 1.0
+    lbl_set = np.array([[0, 0, 0], [255, 0, 0]], np.uint8)
+    img = np.zeros((16, 16, 3), np.uint8)
+    prefix = str(d / "000123.jpg")
+    dump_predictions(pred, lbl_set, img, prefix)
+    assert os.path.exists(str(d / "000123.png"))

@@ -331,7 +331,11 @@ def test(loader, model, variables, args, n_videos=None):
                                            f"{vid_idx}_{t}")
                 dump_futures.append(writers.submit(
                     test_utils.dump_predictions, pred, lbl_map, cur_img,
-                    outpath))
+                    outpath,
+                    # cur_img is uint8 or float*255 — never [0,1]; say so
+                    # instead of leaving the magnitude heuristic to guess
+                    # (a near-black 0-255 float frame would re-scale x255)
+                    img_is_unit_scale=False))
             for f in dump_futures:
                 f.result()  # surface writer exceptions before moving on
 

@@ -111,9 +111,13 @@ class JhmdbSet:
 
         lbls_mat = sio.loadmat(label_path)
         lbls_coord = lbls_mat["pos_img"].astype(np.float64) - 1
-        # scale to feature resolution (reference jhmdb.py:238-239)
-        lbls_coord[0] = lbls_coord[0] * float(neww) / float(wd) / self.mapScale[0]
-        lbls_coord[1] = lbls_coord[1] * float(newh) / float(ht) / self.mapScale[1]
+        # scale to feature resolution. DELIBERATE DEVIATION from reference
+        # jhmdb.py:238-239, which divides x by mapScale[0] (the HEIGHT
+        # scale per its own rsz_h convention at :229) and y by mapScale[1]
+        # — a latent axis swap, invisible because mapScale is always
+        # uniform [s, s] in practice; paired correctly here.
+        lbls_coord[0] = lbls_coord[0] * float(neww) / float(wd) / self.mapScale[1]
+        lbls_coord[1] = lbls_coord[1] * float(newh) / float(ht) / self.mapScale[0]
         n_joints, n_frames = lbls_coord.shape[1], lbls_coord.shape[2]
 
         lbls = np.zeros((n_frames, rsz_h, rsz_w, n_joints))
@@ -139,7 +143,11 @@ class JhmdbSet:
 
         from matplotlib import cm
 
-        lblset = np.array([[0, 0, 0]] + [cm.Paired(i)[:3]
+        # DELIBERATE DEVIATION from reference jhmdb.py:269 (cm.Paired(i)
+        # with integer i): Paired has 12 entries, so joints 12..14 all
+        # clamped to the same color there — i % 12 keeps every mask color
+        # distinct (visualization only; pose eval reads the .dat coords)
+        lblset = np.array([[0, 0, 0]] + [cm.Paired(i % 12)[:3]
                                          for i in range(n_joints)]) * 255.0
 
         meta = dict(folder_path=folder_path, img_paths=img_paths,

@@ -26,6 +26,8 @@ THRESHOLDS = (0.1, 0.2, 0.3, 0.4, 0.5)
 
 
 def load_gt(filelist: str):
+    import os
+
     gts, heights, widths = [], [], []
     with open(filelist) as f:
         for line in f:
@@ -34,14 +36,39 @@ def load_gt(filelist: str):
                 continue
             lbls_mat = sio.loadmat(rows[1])
             gts.append(lbls_mat["pos_img"].astype(np.float64) - 1)
-            img = cv2.imread(rows[0] + "/00001.png")
+            # the reference hardcodes '00001.png' (eval_pck.py:32); fall
+            # back to the first image in the folder, and fail NAMING the
+            # path instead of 'NoneType has no attribute shape'
+            imgpath = rows[0] + "/00001.png"
+            if not os.path.exists(imgpath):
+                cands = sorted(
+                    f for f in os.listdir(rows[0])
+                    if f.lower().endswith((".png", ".jpg", ".jpeg")))
+                if not cands:
+                    raise IOError(f"no frames found under {rows[0]}")
+                imgpath = os.path.join(rows[0], cands[0])
+            img = cv2.imread(imgpath)
+            if img is None:
+                raise IOError(f"could not read frame {imgpath}")
             heights.append(img.shape[0])
             widths.append(img.shape[1])
     return gts, heights, widths
 
 
 def compute_pck(filelist: str, src_folder: str,
-                thresholds=THRESHOLDS) -> dict[float, float]:
+                thresholds=THRESHOLDS,
+                feat_res=(FEAT_RES, FEAT_RES)) -> dict[float, float]:
+    """PCK from dumped keypoints.
+
+    Args:
+      feat_res: (W_feat, H_feat) of the grid the keypoints live on. The
+        reference hardcodes 40 for both axes — correct ONLY for its
+        cropSize-320 square eval (320/8). For any other eval geometry
+        (cropSize -1 native 320x240 -> (40, 30), cropSize 480 -> (60, 60))
+        pass the true grid, else every coordinate is silently rescaled by
+        the wrong factor and PCK is biased with no error.
+    """
+    wf, hf = feat_res
     gts, heights, widths = load_gt(filelist)
 
     dist_all = {p: [] for p in range(15)}
@@ -50,8 +77,8 @@ def compute_pck(filelist: str, src_folder: str,
                        allow_pickle=True).astype(np.float64)
         visible = (pred[0] >= 0)
         pred = pred.copy()
-        pred[0] = pred[0] / FEAT_RES * widths[i]
-        pred[1] = pred[1] / FEAT_RES * heights[i]
+        pred[0] = pred[0] / wf * widths[i]
+        pred[1] = pred[1] / hf * heights[i]
 
         n_joints, n_frames = gt.shape[1], min(gt.shape[2], pred.shape[2])
         # per-frame normalization: 0.6 * bbox diagonal over visible joints
@@ -86,8 +113,16 @@ def main(argv=None):
     parser.add_argument("--filelist", required=True)
     parser.add_argument("--src", required=True,
                         help="folder with {i}.dat prediction files")
+    parser.add_argument("--feat-res", nargs="+", type=int,
+                        default=[FEAT_RES],
+                        help="W [H] of the keypoint feature grid (reference "
+                             "default 40 40 = its cropSize-320 eval; pass "
+                             "the true grid for other geometries, e.g. "
+                             "'40 30' for native 320x240 JHMDB)")
     args = parser.parse_args(argv)
-    compute_pck(args.filelist, args.src)
+    fr = args.feat_res
+    compute_pck(args.filelist, args.src,
+                feat_res=(fr[0], fr[1] if len(fr) > 1 else fr[0]))
 
 
 if __name__ == "__main__":

@@ -28,7 +28,10 @@ CLASSES = ["background", "hat", "hair", "sun-glasses", "upper-clothes",
 
 
 def fast_hist(a: np.ndarray, b: np.ndarray, n: int) -> np.ndarray:
-    k = (a >= 0) & (a < n)
+    # filter BOTH sides: an out-of-class prediction pixel (e.g. a 255 void
+    # value that leaked into the dumped mask) would otherwise push the
+    # flat index past n*n and crash the reshape after the whole sweep ran
+    k = (a >= 0) & (a < n) & (b >= 0) & (b < n)
     return np.bincount(n * a[k].astype(int) + b[k],
                        minlength=n ** 2).reshape(n, n)
 
@@ -59,6 +62,12 @@ def compute_hist(pre_dir: str, gt_dir: str) -> np.ndarray:
 
 
 def show_result(hist: np.ndarray) -> dict[str, float]:
+    if hist.sum() == 0:
+        raise RuntimeError(
+            "empty confusion histogram: no prediction/GT file pairs "
+            "overlapped — check that -p points at the dumped 'videos/' "
+            "masks and -g at the matching GT root (a silent NaN here "
+            "would read as a finished eval)")
     num_cor_pix = np.diag(hist)
     num_gt_pix = hist.sum(1)
     print("=" * 50)

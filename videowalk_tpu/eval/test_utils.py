@@ -31,7 +31,8 @@ def infer_downscale(map_scale: int = 8) -> np.ndarray:
 
 
 def dump_predictions(pred: np.ndarray, lbl_set: np.ndarray, img: np.ndarray,
-                     prefix: str, heatmap: bool = False):
+                     prefix: str, heatmap: bool = False,
+                     img_is_unit_scale: bool | None = None):
     """Save blend jpg + indexed-color mask png for one frame.
 
     Args:
@@ -44,12 +45,17 @@ def dump_predictions(pred: np.ndarray, lbl_set: np.ndarray, img: np.ndarray,
         (its return value is discarded at every call site), and at 480p the
         colormap costs ~15 ms/frame — a fifth of the whole dump — so it is
         opt-in here. Files on disk are identical either way.
+      img_is_unit_scale: True when a float ``img`` is in [0,1] (scale by
+        255), False when it is already 0-255. None keeps the magnitude
+        heuristic (max <= 1.5) — ambiguous for near-black 0-255 floats, so
+        callers that know the scale (cli/test.py does) should say so.
 
     Reference: code/utils/test_utils.py:85-123.
     """
     if img.dtype != np.uint8:
-        img = np.uint8(np.clip(img * 255 if img.max() <= 1.5 else img,
-                               0, 255))
+        unit = (img.max() <= 1.5 if img_is_unit_scale is None
+                else img_is_unit_scale)
+        img = np.uint8(np.clip(img * 255 if unit else img, 0, 255))
     sz = img.shape[:-1]
     pred_dist = cv2.resize(pred, sz[::-1])
     if pred_dist.ndim == 2:
@@ -78,7 +84,11 @@ def dump_predictions(pred: np.ndarray, lbl_set: np.ndarray, img: np.ndarray,
 
     imageio.imwrite(f"{prefix}_blend.jpg", np.uint8(img_with_label))
     if len(prefix) >= 4 and prefix[-4] == ".":  # reference's path HACK (:112)
-        maskname = prefix.replace("jpg", "png")
+        # swap ONLY the extension — the reference's replace('jpg','png')
+        # also rewrites 'jpg' in directory components, sending masks to a
+        # nonexistent tree when the dataset root contains the substring
+        maskname = prefix[:-3] + "png" if prefix.endswith(".jpg") \
+            else prefix.replace("jpg", "png")
     else:
         maskname = f"{prefix}_mask.png"
     # compress_level 1: PNG stays lossless at any level, and the mask is the
@@ -127,7 +137,10 @@ _POSE_COLORS = [[255, 0, 0], [255, 85, 0], [255, 170, 0], [255, 255, 0],
 
 def vis_pose(ori_img: np.ndarray, points: np.ndarray) -> np.ndarray:
     """Draw the JHMDB skeleton (reference test_utils.py:10-48)."""
-    canvas = np.ascontiguousarray(ori_img)
+    # copy=True: ascontiguousarray returns the SAME array when the input is
+    # already contiguous, and cv2.line would then draw into the caller's
+    # frame (which dump_predictions later blends)
+    canvas = np.array(ori_img, copy=True)
     x, y = points[0, :], points[1, :]
     for n in range(len(x)):
         pid = int(_POSE_PARENTS[n]) if n < len(_POSE_PARENTS) else 0

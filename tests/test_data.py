@@ -335,3 +335,78 @@ def test_video_list(tmp_path):
     ds = VideoList(str(fl), clip_len=4, frame_gap=2, seed=0)
     imgs, _, _ = ds[0]
     assert imgs.shape == (4, 32, 32, 3)
+
+
+def test_video_list_epochs_differ_and_loud_failures(tmp_path):
+    """set_epoch must advance the per-item RNG stream (fixed iteration
+    order previously made every epoch byte-identical); short videos and
+    stale frame counts fail naming the folder."""
+    import cv2
+
+    d = tmp_path / "frames2"
+    d.mkdir()
+    rng = np.random.RandomState(3)
+    for i in range(24):
+        cv2.imwrite(str(d / f"{i}.jpg"),
+                    rng.randint(0, 255, (32, 32, 3)).astype(np.uint8))
+    # a stray non-numeric file must not crash the frame sort
+    (d / ".DS_Store").write_bytes(b"junk")
+    fl = tmp_path / "list2.txt"
+    fl.write_text(f"{d} 24\n")
+    ds = VideoList(str(fl), clip_len=4, frame_gap=1, seed=0)
+    e0 = ds[0][0]
+    ds.set_epoch(1)
+    e1 = ds[0][0]
+    assert not np.array_equal(e0, e1), "epochs must not replay identically"
+    ds.set_epoch(0)
+    again = ds[0][0]
+    np.testing.assert_array_equal(e0, again)  # same epoch = deterministic
+
+    short = tmp_path / "short.txt"
+    short.write_text(f"{d} 2\n")
+    ds2 = VideoList(str(short), clip_len=4, seed=0)
+    with pytest.raises(ValueError, match="frames < clip_len"):
+        ds2[0]
+    lying = tmp_path / "lying.txt"
+    lying.write_text(f"{d} 999\n")
+    ds3 = VideoList(str(lying), clip_len=4, seed=0)
+    with pytest.raises(ValueError, match="only 24"):
+        ds3[0]
+
+
+def test_single_video_dataset_bounds():
+    """Short videos fail loudly; the LAST valid clip start is reachable."""
+    from videowalk_tpu.data.video import SingleVideoDataset
+
+    video = np.arange(10)[:, None, None, None] * np.ones((1, 4, 4, 3))
+    with pytest.raises(ValueError, match="cannot yield"):
+        SingleVideoDataset(video, clip_len=16)
+    ds = SingleVideoDataset(video, clip_len=8, seed=0)
+    starts = {int(ds[i][0, 0, 0, 0]) for i in range(64)}
+    assert starts == {0, 1, 2}  # max_start=2 must be reachable
+
+
+def test_clip_index_rejects_stale_metadata(tmp_path):
+    """A metadata cache from a different video tree must be rejected, not
+    positionally mis-applied."""
+    from videowalk_tpu.data.clips import VideoClipIndex
+
+    meta = {"video_paths": ["a.mp4", "b.mp4"],
+            "video_frames": [30, 40], "video_fps": [30.0, 30.0]}
+    # same-paths cache applies fine
+    idx = VideoClipIndex(["a.mp4", "b.mp4"], frames_per_clip=4,
+                         _metadata=meta)
+    assert idx.num_clips() > 0
+    with pytest.raises(ValueError, match="does not match"):
+        VideoClipIndex(["a.mp4", "c.mp4"], frames_per_clip=4,
+                       _metadata=meta)
+
+
+def test_clip_index_rejects_negative_idx():
+    from videowalk_tpu.data.clips import VideoClipIndex
+
+    meta = {"video_paths": ["a.mp4"], "video_frames": [30],
+            "video_fps": [30.0]}
+    idx = VideoClipIndex(["a.mp4"], frames_per_clip=4, _metadata=meta)
+    with pytest.raises(IndexError):
+        idx.get_clip(-1)

@@ -233,6 +233,11 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     assert len(a_leaves) == len(b_leaves)
     for a, b in zip(a_leaves, b_leaves):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # an interrupted save (arrays present, sidecar missing) must fail
+    # loudly — silently resuming at epoch 0 with epoch-N weights is worse
+    os.remove(os.path.join(d, "metadata.json"))
+    with pytest.raises(RuntimeError, match="interrupted"):
+        load_checkpoint_orbax(d)
 
 
 def test_teacher_student_torch_keys():

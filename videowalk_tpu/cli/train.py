@@ -514,6 +514,12 @@ def main(args):
     start_time = time.time()
     rng = jax.random.PRNGKey(args.seed + 1234)
     for epoch in range(args.start_epoch, args.epochs):
+        # advance the dataset's per-item RNG streams — without this, a clip
+        # index revisited in a later epoch replays the exact decode window
+        # and augmentation draws (VideoList iterates in fixed order, so its
+        # epochs would be byte-identical)
+        if hasattr(dataset, "set_epoch"):
+            dataset.set_epoch(epoch)
         state = train_one_epoch(args, model, step_fns, state, data_loader,
                                 epoch, mesh, rng, checkpoint_fn,
                                 device_slic_fn, vis=vis)

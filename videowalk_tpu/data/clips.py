@@ -67,17 +67,48 @@ class VideoClipIndex:
 
     def __post_init__(self):
         if self._metadata is not None:
+            # cached counts pair with videos POSITIONALLY — applying a cache
+            # from a tree that gained/lost/reordered files would silently
+            # compute clip windows from the wrong video's frame count
+            cached_paths = self._metadata.get("video_paths")
+            if (cached_paths is not None
+                    and list(cached_paths) != list(self.video_paths)):
+                raise ValueError(
+                    "cached dataset metadata does not match the current "
+                    "video tree (files added/removed/reordered since the "
+                    "cache was written) — delete the cache file or point "
+                    "--cache-path elsewhere")
             self.video_frames = list(self._metadata["video_frames"])
             self.video_fps = list(self._metadata["video_fps"])
         else:
+            if cv2 is None and self.video_paths:
+                raise RuntimeError("opencv-python (cv2) is required to "
+                                   "probe video metadata and failed to "
+                                   "import")
             self.video_frames, self.video_fps = [], []
+            failed = []
             for p in self.video_paths:
                 try:
                     n, fps = _probe(p)
-                except Exception:
+                except Exception as e:
+                    # skip the video (reference behavior: corrupt videos are
+                    # tolerated) but say so — a silent (0, 30) made whole
+                    # classes vanish from the index with no diagnostics
+                    failed.append((p, e))
                     n, fps = 0, 30.0
                 self.video_frames.append(n)
                 self.video_fps.append(fps)
+            if failed:
+                shown = "; ".join(f"{p} ({e})" for p, e in failed[:5])
+                print(f"WARNING: {len(failed)} of {len(self.video_paths)} "
+                      f"videos failed to probe and are excluded from the "
+                      f"clip index: {shown}"
+                      + ("; ..." if len(failed) > 5 else ""), flush=True)
+                if len(failed) == len(self.video_paths):
+                    raise RuntimeError(
+                        "every video failed to probe — check codecs/"
+                        "permissions (first error: "
+                        f"{failed[0][0]}: {failed[0][1]})")
         self.compute_clips(self.frames_per_clip, self.step_between_clips,
                            self.frame_rate)
 
@@ -122,7 +153,9 @@ class VideoClipIndex:
 
     def get_clip(self, idx: int) -> tuple[np.ndarray, dict, int]:
         """Decode clip ``idx`` -> (frames (T, H, W, 3) uint8 RGB, info, video_idx)."""
-        if idx >= self.num_clips():
+        if not 0 <= idx < self.num_clips():
+            # a negative idx would searchsorted to the LAST video and decode
+            # the wrong clip without error
             raise IndexError(idx)
         vi, ci = self.get_clip_location(idx)
         frame_idxs = self.clips[vi][ci]
@@ -155,12 +188,13 @@ def decode_frames(path: str, frame_idxs: Sequence[int]) -> np.ndarray:
                     cap.grab()
             else:
                 cap.set(cv2.CAP_PROP_POS_FRAMES, first)
+        needed = set(int(i) for i in frame_idxs)  # O(1) tests in the loop
         buf = {}
         for fi in range(first, last + 1):
             ok, frame = cap.read()
             if not ok:
                 raise IOError(f"decode failed at frame {fi} of {path}")
-            if fi in frame_idxs:
+            if fi in needed:
                 buf[fi] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
         return np.stack([buf[int(i)] for i in frame_idxs])
     finally:

@@ -82,6 +82,14 @@ class Kinetics400:
         self.base_seed = (int(seed) if seed is not None
                           else int(np.random.SeedSequence().entropy
                                    % (2 ** 31)))
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the per-item RNG streams: without the epoch in the seed,
+        a clip index revisited in a later epoch would replay the exact same
+        decode window and augmentation draws (the reference gets fresh
+        draws from its per-worker torch RNGs)."""
+        self._epoch = int(epoch)
 
     def __len__(self):
         return self.video_clips.num_clips()
@@ -94,10 +102,11 @@ class Kinetics400:
         return self.compactness
 
     def __getitem__(self, idx: int):
-        # deterministic per-item stream: thread-safe under the concurrent
-        # loader AND worker-count-independent (the reference's per-process
-        # DataLoader RNGs make draws depend on the worker schedule)
-        rng = np.random.RandomState([self.base_seed, int(idx)])
+        # deterministic per-(epoch, item) stream: thread-safe under the
+        # concurrent loader AND worker-count-independent (the reference's
+        # per-process DataLoader RNGs make draws depend on the worker
+        # schedule); the epoch term keeps revisited indices fresh
+        rng = np.random.RandomState([self.base_seed, self._epoch, int(idx)])
         if len(self) == 0:
             raise RuntimeError(
                 f"dataset at {self.root} contains no clips (no video files "

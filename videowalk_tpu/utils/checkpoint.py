@@ -293,9 +293,15 @@ def save_checkpoint_orbax(directory: str, state_pytree: Any,
     directory = os.path.abspath(directory)
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(directory, _to_numpy_tree(state_pytree), force=True)
-    if metadata is not None:
-        with open(os.path.join(directory, "metadata.json"), "w") as f:
-            json.dump(dict(metadata), f)
+    # ALWAYS write the sidecar (empty when no metadata), atomically: the
+    # loader treats a missing sidecar as an interrupted save — without
+    # that, a crash right here would leave a valid-looking checkpoint that
+    # silently resumes at epoch 0 with epoch-N weights
+    meta_path = os.path.join(directory, "metadata.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(dict(metadata) if metadata is not None else {}, f)
+    os.replace(tmp, meta_path)
 
 
 def load_checkpoint_orbax(directory: str,
@@ -317,8 +323,12 @@ def load_checkpoint_orbax(directory: str,
     tree = ckptr.restore(directory, item=item) if item is not None \
         else ckptr.restore(directory)
     meta_path = os.path.join(directory, "metadata.json")
-    meta = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
+    if not os.path.exists(meta_path):
+        raise RuntimeError(
+            f"{directory} has checkpoint arrays but no metadata.json — the "
+            f"save was interrupted between the array write and the sidecar "
+            f"(resuming would silently restart at epoch 0 with these "
+            f"weights); re-save the checkpoint")
+    with open(meta_path) as f:
+        meta = json.load(f)
     return tree, meta

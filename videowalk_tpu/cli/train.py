@@ -131,6 +131,9 @@ def train_one_epoch(args, models, steps, state, data_loader, epoch, mesh,
     global_step = int(state.step)
     fetch_every = max(1, args.print_freq)
     window_clips, window_t0 = 0, time.time()
+    # clips/s reports GLOBAL throughput: each process steps the same global
+    # batch in lockstep, contributing local_batch clips of it
+    world = jax.process_count()
 
     if vis is not None:  # wandb/JSONL init (reference train.py:48-49)
         vis.wandb_init(models)
@@ -201,7 +204,7 @@ def train_one_epoch(args, models, steps, state, data_loader, epoch, mesh,
                 n_clips = views["whole"].shape[0]
 
             global_step += 1
-            window_clips += n_clips
+            window_clips += n_clips * world
 
             if vis is not None:
                 # per-step loss + walk diagnostics (reference train.py:71-73).
@@ -250,6 +253,21 @@ def main(args):
     from videowalk_tpu.utils.platform import respect_jax_platforms_env
 
     respect_jax_platforms_env()
+    # Multi-process cluster join must precede the first device query
+    # (parallel/multihost.py). After this, jax.devices() is the GLOBAL list.
+    from videowalk_tpu.parallel.multihost import initialize_from_args
+
+    world = initialize_from_args(args)
+    rank = jax.process_index()
+    if world > 1:
+        # a multi-process run is by definition data-parallel over the
+        # global mesh; --batch-size stays the GLOBAL batch (reference
+        # semantics: one number describes the run)
+        args.data_parallel = True
+        if args.batch_size % world:
+            raise ValueError(
+                f"--distributed needs --batch-size ({args.batch_size}) "
+                f"divisible by the {world} processes")
     if getattr(args, "debug_nans", False):
         # Opt-in analogue of the reference's set_detect_anomaly(True)
         # (code/train.py:27): every primitive's output is NaN-checked and
@@ -286,9 +304,12 @@ def main(args):
                                     args.clips_per_video, seed=args.seed)
     else:
         sampler = None
-    data_loader = DataLoader(dataset, batch_size=args.batch_size,
+    # Multi-process: each process loads its disjoint sampler shard of
+    # global_batch/world clips per step (parallel/multihost.py contract).
+    data_loader = DataLoader(dataset, batch_size=args.batch_size // world,
                              sampler=sampler,
-                             num_workers=max(1, args.workers // 2))
+                             num_workers=max(1, args.workers // 2),
+                             shard=(rank, world) if world > 1 else None)
 
     # Model
     print("Creating model", end="\n" + "-" * 100 + "\n")
@@ -450,6 +471,11 @@ def main(args):
 
     def checkpoint_fn(state_, epoch_):
         if not args.output_dir:
+            return
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # params/opt state are replicated; one writer suffices (every
+            # process draws the same stochastic-checkpoint coin, so no
+            # process skews ahead)
             return
         variables = {"params": jax.device_get(state_.params),
                      "batch_stats": jax.device_get(state_.batch_stats)}

@@ -35,7 +35,8 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, sampler: Iterable | None = None,
                  num_workers: int = 4, collate_fn: Callable = default_collate,
-                 drop_last: bool = True, prefetch_batches: int = 2):
+                 drop_last: bool = True, prefetch_batches: int = 2,
+                 shard: tuple[int, int] | None = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = sampler
@@ -43,11 +44,26 @@ class DataLoader:
         self.collate_fn = collate_fn
         self.drop_last = drop_last
         self.prefetch_batches = prefetch_batches
+        if shard is not None:
+            rank, world = shard
+            if not (0 <= rank < world):
+                raise ValueError(f"shard rank {rank} not in [0, {world})")
+        self.shard = shard
 
     def _indices(self):
         if self.sampler is not None:
-            return list(iter(self.sampler))
-        return list(range(len(self.dataset)))
+            base = list(iter(self.sampler))
+        else:
+            base = list(range(len(self.dataset)))
+        if self.shard is not None:
+            # Multi-process data sharding (parallel/multihost.py): every
+            # process draws the SAME sampler sequence (shared seed), takes
+            # its strided slice, and truncates to the floor-common length so
+            # all processes run exactly the same number of steps (required:
+            # a straggler with one extra batch would hang the collectives).
+            rank, world = self.shard
+            base = base[rank::world][:len(base) // world]
+        return base
 
     def __len__(self):
         # len(sampler), never list(iter(sampler)): drawing the sampler here
@@ -56,6 +72,8 @@ class DataLoader:
         # train loop calls it every step).
         n = (len(self.sampler) if self.sampler is not None
              else len(self.dataset))
+        if self.shard is not None:
+            n = n // self.shard[1]
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator:

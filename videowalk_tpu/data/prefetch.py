@@ -39,8 +39,14 @@ def _to_device(item, keys=None, sharding=None):
     views, sp_mask, label = item
 
     def put(x):
-        return jax.device_put(x, sharding) if sharding is not None \
-            else jax.device_put(x)
+        if sharding is not None:
+            # put_global handles the multi-process case (this process's
+            # local block of a globally sharded batch) as well as the
+            # single-process straight-to-mesh put.
+            from videowalk_tpu.parallel.mesh import put_global
+
+            return put_global(x, sharding)
+        return jax.device_put(x)
 
     views = {k: put(v) if keys is None or k in keys else v
              for k, v in views.items()}

@@ -8,7 +8,11 @@ inserts the gradient psum over ICI. BatchNorm statistics are computed over
 the *global* batch under jit (stronger than DataParallel's per-replica stats).
 """
 
-from videowalk_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+from videowalk_tpu.parallel.mesh import (make_mesh, put_global, replicate,
+                                         shard_batch)
+from videowalk_tpu.parallel.multihost import (initialize_distributed,
+                                              initialize_from_args,
+                                              is_primary)
 from videowalk_tpu.parallel.train_step import (
     TrainState,
     create_train_state,
@@ -19,8 +23,12 @@ from videowalk_tpu.parallel.train_step import (
 
 __all__ = [
     "make_mesh",
+    "put_global",
     "shard_batch",
     "replicate",
+    "initialize_distributed",
+    "initialize_from_args",
+    "is_primary",
     "TrainState",
     "create_train_state",
     "make_optimizer",

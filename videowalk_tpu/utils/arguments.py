@@ -232,6 +232,24 @@ def train_args(argv=None):
                              "code/train.py:27; slow — debugging only). A "
                              "cheap finite-loss guard is always on at each "
                              "--print-freq fetch regardless of this flag.")
+    parser.add_argument("--distributed", default=False, action="store_true",
+                        help="multi-process (multi-host) SPMD: join the JAX "
+                             "distributed cluster before touching devices; "
+                             "the mesh then spans every host's chips, "
+                             "--batch-size is the GLOBAL batch, and each "
+                             "process loads its disjoint sampler shard "
+                             "(parallel/multihost.py). With no further "
+                             "flags, cluster discovery is automatic (TPU "
+                             "pod / SLURM).")
+    parser.add_argument("--coordinator-address", default="", type=str,
+                        help="host:port of process 0 for --distributed on "
+                             "manual clusters (auto-detected on TPU pods)")
+    parser.add_argument("--num-processes", default=0, type=int,
+                        help="process count for --distributed manual "
+                             "clusters (0 = auto-detect)")
+    parser.add_argument("--process-id", default=-1, type=int,
+                        help="this process's rank for --distributed manual "
+                             "clusters (-1 = auto-detect)")
 
     args = parser.parse_args(argv)
 

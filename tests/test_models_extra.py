@@ -183,3 +183,35 @@ def test_pck_numeric_oracle(tmp_path):
     res = compute_pck(str(fl), str(tmp_path))
     for th, v in res.items():
         assert v == 100.0, (th, v)
+
+
+def test_bfloat16_encoder_train_step():
+    """The flagship bench config runs the encoder trunk in bf16
+    (bench.py: CRWConfig(dtype=jnp.bfloat16); walk math stays f32) — pin
+    that the mixed-precision path trains: finite loss near the f32 loss,
+    params still f32 after the update."""
+    from videowalk_tpu.models import CRW, CRWConfig
+    from videowalk_tpu.parallel import (create_train_state, make_optimizer,
+                                        make_train_step)
+
+    rng = np.random.RandomState(0)
+    batch = jnp.asarray(rng.randn(2, 3, 4, 32, 32, 3).astype(np.float32))
+
+    losses = {}
+    for name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        cfg = CRWConfig(model_type="scratch_zeropad", temperature=0.05,
+                        dtype=dtype,
+                        remove_layers=("layer2", "layer3", "layer4"))
+        model = CRW(cfg)
+        optimizer = make_optimizer(lr=1e-3)
+        state = create_train_state(model, optimizer, batch[:1],
+                                   jax.random.PRNGKey(0))
+        step = make_train_step(model, optimizer, donate=False)
+        state, metrics = step(state, batch, jax.random.PRNGKey(7))
+        losses[name] = float(metrics["loss"])
+        assert np.isfinite(losses[name]), (name, losses[name])
+        assert all(leaf.dtype == jnp.float32 for leaf in
+                   jax.tree_util.tree_leaves(state.params)), name
+    # bf16 trunk rounding perturbs the walk inputs but must not change the
+    # loss regime
+    np.testing.assert_allclose(losses["bf16"], losses["f32"], rtol=5e-2)

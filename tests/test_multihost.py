@@ -179,3 +179,55 @@ def test_distributed_cli_end_to_end(tmp_path):
     for out in outs:
         assert "Training time" in out, out[-4000:]
     assert os.path.exists(out_dir / "checkpoint.pth")
+
+
+@pytest.mark.slow
+def test_distributed_eval_matches_single_process(tmp_path):
+    """`python test.py --distributed` shards the VIDEO LIST across
+    processes: two 1-device processes split a 2-video synthetic DAVIS set
+    and their masks in the shared save_path must be byte-identical to the
+    single-process run (videos are independent — no collectives)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _synth import make_crw_checkpoint, make_davis_tree
+
+    davis = make_davis_tree(str(tmp_path / "DAVIS"))
+    ckpt = make_crw_checkpoint(str(tmp_path / "ckpt.pth"))
+    vallist = str(tmp_path / "davis_vallist.txt")
+    from videowalk_tpu.eval.make_davis_vallist import make_list
+
+    with open(vallist, "w") as f:
+        f.write("\n".join(make_list(davis)) + "\n")
+
+    def cmd_for(save_path, extra):
+        return [
+            sys.executable, os.path.join(REPO, "test.py"),
+            "--filelist", vallist, "--resume", ckpt,
+            "--save-path", save_path,
+            "--model-type", "scratch", "--cropSize", "-1",
+            "--radius", "6", "--videoLen", "3", "--topk", "5",
+            "--temperature", "0.05",
+        ] + extra
+
+    port = _free_port()
+    shared = str(tmp_path / "dist_out")
+    _run_pair(
+        lambda rank: cmd_for(shared, [
+            "--distributed", "--coordinator-address", f"localhost:{port}",
+            "--num-processes", "2", "--process-id", str(rank)]),
+        _worker_env(1), tmp_path, timeout=1800)
+
+    single = str(tmp_path / "single_out")
+    env = _worker_env(1)
+    r = subprocess.run(cmd_for(single, []), env=env, cwd=REPO,
+                       capture_output=True, text=True, timeout=1800)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
+
+    masks = sorted(f for f in os.listdir(single) if f.endswith("_mask.png"))
+    assert masks, os.listdir(single)
+    # both videos present in the shared dir with GLOBAL indices, and every
+    # mask byte-identical to the single-process run
+    assert {m.split("_")[0] for m in masks} == {"0", "1"}
+    for m in masks:
+        with open(os.path.join(single, m), "rb") as f1, \
+                open(os.path.join(shared, m), "rb") as f2:
+            assert f1.read() == f2.read(), f"mask differs: {m}"

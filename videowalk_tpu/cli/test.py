@@ -184,14 +184,20 @@ def _prefetch_iter(gen, depth: int = 1):
         stop.set()
 
 
-def test(loader, model, variables, args, n_videos=None):
+def test(loader, model, variables, args, n_videos=None, video_indices=None):
     n_context = args.videoLen
 
     mesh = None
-    if getattr(args, "data_parallel", False) and len(jax.devices()) > 1:
-        from videowalk_tpu.parallel import make_mesh, replicate
+    if getattr(args, "data_parallel", False) and len(jax.local_devices()) > 1:
+        from jax.sharding import Mesh
 
-        mesh = make_mesh()
+        from videowalk_tpu.parallel import replicate
+
+        # LOCAL devices, deliberately: under --distributed the video list is
+        # already sharded across processes (each video is independent), so
+        # each host meshes only its own chips — a global mesh would make the
+        # embarrassingly parallel work collective for nothing
+        mesh = Mesh(np.asarray(jax.local_devices()), ("data",))
         variables = replicate(variables, mesh)
         print(f"eval data-parallel over {mesh.devices.size} devices",
               flush=True)
@@ -201,11 +207,22 @@ def test(loader, model, variables, args, n_videos=None):
     # (n_videos comes from main — the loader itself is a generator), so the
     # trace shows warm-cache encode/propagation instead of compile time.
     profile_dir = getattr(args, "profile_dir", "")
-    profile_vid = 1 if (n_videos or 0) > 1 else 0
+    if video_indices is not None:
+        profile_vid = (video_indices[1] if len(video_indices) > 1
+                       else (video_indices[0] if video_indices else -1))
+    else:
+        profile_vid = 1 if (n_videos or 0) > 1 else 0
     profiling = False
 
+    # video_indices carries the GLOBAL video ids when --distributed strides
+    # the dataset across processes — output names ({vid_idx}_{t}.png,
+    # {vid_idx}.dat) must stay globally unique in the shared save_path
+    import itertools
+
+    idx_iter = (iter(video_indices) if video_indices is not None
+                else itertools.count())
     for vid_idx, (imgs, imgs_orig, lbls_resize, lbls_orig, lbl_map, meta) \
-            in enumerate(_prefetch_iter(loader)):
+            in zip(idx_iter, _prefetch_iter(loader)):
         if profile_dir and vid_idx == profile_vid and not profiling:
             jax.profiler.start_trace(profile_dir)
             profiling = True
@@ -357,6 +374,13 @@ def main(args):
     from videowalk_tpu.utils.platform import respect_jax_platforms_env
 
     respect_jax_platforms_env()
+    # Multi-process cluster join must precede the first device query.
+    # Eval parallelism across processes is by VIDEO (each is independent):
+    # process r evaluates videos r, r+world, ... into the shared save_path.
+    from videowalk_tpu.parallel.multihost import initialize_from_args
+
+    world = initialize_from_args(args)
+    rank = _jax.process_index()
     print("jax devices:", _jax.devices())
     warn_inert_flags(args)
     model, spec = build_model(args)
@@ -391,9 +415,14 @@ def main(args):
                                  skip_keys=["head"])
 
     os.makedirs(args.save_path, exist_ok=True)
-    loader = (dataset[i] for i in range(len(dataset)))
+    indices = list(range(rank, len(dataset), world))
+    if world > 1:
+        print(f"process {rank}/{world}: evaluating {len(indices)} of "
+              f"{len(dataset)} videos {indices}", flush=True)
+    loader = (dataset[i] for i in indices)
     try:
-        test(loader, model, variables, args, n_videos=len(dataset))
+        test(loader, model, variables, args, n_videos=len(dataset),
+             video_indices=indices if world > 1 else None)
     finally:
         # flush a profiler session left open if test() raised mid-trace —
         # minutes of device work would otherwise yield no artifacts

@@ -36,7 +36,7 @@ def put_global(x, sharding: NamedSharding):
     ``jax.make_array_from_process_local_data`` — no data moves between
     hosts, each host feeds the chips it owns.
     """
-    if jax.process_count() > 1:
+    if jax.process_count() > 1 and not sharding.is_fully_addressable:
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
             # already a global array (the prefetcher put it straight to the
             # mesh layout); fetching it back to host is impossible and
@@ -44,6 +44,8 @@ def put_global(x, sharding: NamedSharding):
             return x
         return jax.make_array_from_process_local_data(
             sharding, np.asarray(x))
+    # single process, or a process-local mesh inside a multi-process run
+    # (e.g. eval's per-host --data-parallel mesh): a plain put
     return jax.device_put(x, sharding)
 
 

@@ -24,6 +24,27 @@ def _mkdirs(*paths):
             os.makedirs(p, exist_ok=True)
 
 
+def _add_distributed_flags(parser):
+    """Multi-process (multi-host) flags shared by both CLIs
+    (parallel/multihost.py). Train shards the global batch over the global
+    mesh; eval shards the video list across processes."""
+    parser.add_argument("--distributed", default=False, action="store_true",
+                        help="multi-process (multi-host) SPMD: join the JAX "
+                             "distributed cluster before touching devices "
+                             "(parallel/multihost.py). With no further "
+                             "flags, cluster discovery is automatic (TPU "
+                             "pod / SLURM).")
+    parser.add_argument("--coordinator-address", default="", type=str,
+                        help="host:port of process 0 for --distributed on "
+                             "manual clusters (auto-detected on TPU pods)")
+    parser.add_argument("--num-processes", default=0, type=int,
+                        help="process count for --distributed manual "
+                             "clusters (0 = auto-detect)")
+    parser.add_argument("--process-id", default=-1, type=int,
+                        help="this process's rank for --distributed manual "
+                             "clusters (-1 = auto-detect)")
+
+
 def test_args(argv=None):
     """Label-propagation evaluation args (reference arguments.py:18-90)."""
     parser = argparse.ArgumentParser(description="Label Propagation")
@@ -87,6 +108,10 @@ def test_args(argv=None):
     parser.add_argument("--profile-dir", default="", type=str,
                         help="write a jax.profiler trace of one warm video "
                              "(video 1 when available, else video 0) here")
+    # TPU extension: --distributed shards the VIDEO LIST across processes
+    # (each host evaluates videos rank::world on its local chips into the
+    # shared --save-path); --data-parallel composes, staying per-host
+    _add_distributed_flags(parser)
 
     args = parser.parse_args(argv)
     args.device = "tpu"
@@ -232,24 +257,9 @@ def train_args(argv=None):
                              "code/train.py:27; slow — debugging only). A "
                              "cheap finite-loss guard is always on at each "
                              "--print-freq fetch regardless of this flag.")
-    parser.add_argument("--distributed", default=False, action="store_true",
-                        help="multi-process (multi-host) SPMD: join the JAX "
-                             "distributed cluster before touching devices; "
-                             "the mesh then spans every host's chips, "
-                             "--batch-size is the GLOBAL batch, and each "
-                             "process loads its disjoint sampler shard "
-                             "(parallel/multihost.py). With no further "
-                             "flags, cluster discovery is automatic (TPU "
-                             "pod / SLURM).")
-    parser.add_argument("--coordinator-address", default="", type=str,
-                        help="host:port of process 0 for --distributed on "
-                             "manual clusters (auto-detected on TPU pods)")
-    parser.add_argument("--num-processes", default=0, type=int,
-                        help="process count for --distributed manual "
-                             "clusters (0 = auto-detect)")
-    parser.add_argument("--process-id", default=-1, type=int,
-                        help="this process's rank for --distributed manual "
-                             "clusters (-1 = auto-detect)")
+    # --distributed: the mesh spans every host's chips, --batch-size is the
+    # GLOBAL batch, each process loads its disjoint sampler shard
+    _add_distributed_flags(parser)
 
     args = parser.parse_args(argv)
 

@@ -40,18 +40,26 @@ def _worker_env(n_local_devices: int) -> dict:
 
 def _run_pair(cmd_for_rank, env, tmp_path, timeout=900):
     procs, logs = [], []
-    for rank in (0, 1):
-        log = open(os.path.join(str(tmp_path), f"proc{rank}.log"), "w+")
-        logs.append(log)
-        procs.append(subprocess.Popen(
-            cmd_for_rank(rank), env=env, stdout=log,
-            stderr=subprocess.STDOUT, cwd=REPO))
-    codes = [p.wait(timeout=timeout) for p in procs]
-    outs = []
-    for log in logs:
-        log.seek(0)
-        outs.append(log.read())
-        log.close()
+    try:
+        for rank in (0, 1):
+            log = open(os.path.join(str(tmp_path), f"proc{rank}.log"), "w+")
+            logs.append(log)
+            procs.append(subprocess.Popen(
+                cmd_for_rank(rank), env=env, stdout=log,
+                stderr=subprocess.STDOUT, cwd=REPO))
+        codes = [p.wait(timeout=timeout) for p in procs]
+    finally:
+        # a hung/failed pair must not outlive the test: two leaked workers
+        # thrash every later test on this 1-core host
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait(timeout=30)
+        outs = []
+        for log in logs:
+            log.seek(0)
+            outs.append(log.read())
+            log.close()
     for rank, (code, out) in enumerate(zip(codes, outs)):
         assert code == 0, f"rank {rank} exited {code}:\n{out[-4000:]}"
     return outs

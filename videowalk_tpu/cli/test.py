@@ -423,6 +423,14 @@ def main(args):
     try:
         test(loader, model, variables, args, n_videos=len(dataset),
              video_indices=indices if world > 1 else None)
+        if world > 1:
+            # video shards skew (lengths differ): without a barrier the
+            # first-finished process exits, tearing down the coordinator /
+            # tripping the shutdown-barrier timeout while slower shards are
+            # mid-video. Only on success — a failed rank should die loudly.
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("videowalk_eval_done")
     finally:
         # flush a profiler session left open if test() raised mid-trace —
         # minutes of device work would otherwise yield no artifacts

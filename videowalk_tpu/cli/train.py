@@ -104,7 +104,11 @@ def make_dataset(args, transform):
             sp_backend=args.sp_backend,
             seed=args.seed,
         )
-        if cached is None and args.cache_path:
+        if (cached is None and args.cache_path
+                and jax.process_index() == 0):
+            # rank-gated: on a shared filesystem every process would write
+            # the same file concurrently (torn cache); non-primary ranks
+            # simply keep the metadata they just computed in memory
             os.makedirs(os.path.dirname(args.cache_path) or ".", exist_ok=True)
             ds.video_clips.save_metadata(args.cache_path)
             print(f"Saved dataset metadata to {args.cache_path}")
@@ -185,26 +189,39 @@ def train_one_epoch(args, models, steps, state, data_loader, epoch, mesh,
             key = jax.random.fold_in(step_rng, global_step)
 
             if grid or args.teacher_student:
-                batch = jnp.asarray(views["grid"])
-                if mesh is not None:
-                    batch = shard_batch(batch, mesh)
+                # host arrays go straight to the mesh layout (jnp.asarray
+                # first would stage on one device, and in multi-process
+                # put_global would then fetch it back to host — a full
+                # per-step round trip of the batch)
+                batch = (shard_batch(views["grid"], mesh) if mesh is not None
+                         else jnp.asarray(views["grid"]))
                 state, metrics = steps["patch"](state, batch, key)
-                n_clips = views["grid"].shape[0]
+                stepped = views["grid"]
             else:
-                video = jnp.asarray(views["whole"])
                 if args.sp_backend == "device":
-                    unnorm = jnp.asarray(views["whole_unnorm"])
+                    unnorm = (shard_batch(views["whole_unnorm"], mesh)
+                              if mesh is not None
+                              else jnp.asarray(views["whole_unnorm"]))
                     mask = device_slic_fn(unnorm, host_rng)
                 else:
-                    mask = jnp.asarray(sp_mask)
+                    mask = sp_mask
+                video = (shard_batch(views["whole"], mesh) if mesh is not None
+                         else jnp.asarray(views["whole"]))
                 if mesh is not None:
-                    video = shard_batch(video, mesh)
                     mask = shard_batch(mask, mesh)
+                else:
+                    mask = jnp.asarray(mask)
                 state, metrics = steps["superpixel"](state, video, key, mask)
-                n_clips = views["whole"].shape[0]
+                stepped = views["whole"]
 
             global_step += 1
-            window_clips += n_clips * world
+            # GLOBAL clips this step: a prefetched multi-process batch is
+            # already the global array (shape[0] = global batch); a host /
+            # fully-addressable one is this process's local block
+            n_clips = stepped.shape[0]
+            if world > 1 and getattr(stepped, "is_fully_addressable", True):
+                n_clips *= world
+            window_clips += n_clips
 
             if vis is not None:
                 # per-step loss + walk diagnostics (reference train.py:71-73).
@@ -503,9 +520,12 @@ def main(args):
                                 "gamma": args.lr_gamma},
                             epoch=epoch_, args=ck_args)
 
-    # Visualisation (reference train.py:238)
+    # Visualisation (reference train.py:238); rank-gated — metrics are
+    # replicated, so N processes would log N duplicate wandb runs /
+    # interleave the same records into one metrics.jsonl, and each
+    # non-primary rank would pay the per-step device fetch for nothing
     vis = None
-    if args.visualize:
+    if args.visualize and rank == 0:
         from videowalk_tpu.utils.visualize import Visualize
 
         vis = Visualize(args)

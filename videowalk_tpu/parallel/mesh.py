@@ -39,8 +39,14 @@ def put_global(x, sharding: NamedSharding):
     if jax.process_count() > 1 and not sharding.is_fully_addressable:
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
             # already a global array (the prefetcher put it straight to the
-            # mesh layout); fetching it back to host is impossible and
-            # pointless — pass it through
+            # mesh layout); fetching it back to host is impossible. Honor
+            # the layout contract loudly instead of silently passing a
+            # differently-sharded array through.
+            if not x.sharding.is_equivalent_to(sharding, x.ndim):
+                raise ValueError(
+                    f"put_global got an already-global array sharded "
+                    f"{x.sharding} but {sharding} was requested; reshard "
+                    f"inside jit (or fix the producer's layout)")
             return x
         return jax.make_array_from_process_local_data(
             sharding, np.asarray(x))

@@ -46,8 +46,14 @@ def initialize_distributed(coordinator_address: str | None = None,
     # in-tree default. Harmless on TPU (the flag only affects XLA:CPU).
     try:
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
-    except Exception:
-        pass
+    except Exception as e:
+        # don't swallow silently: on a CPU cluster a missing transport
+        # means the FIRST collective hangs with no diagnostic
+        import warnings
+
+        warnings.warn(
+            f"could not select the gloo CPU collectives transport ({e}); "
+            f"multi-process CPU collectives may hang", RuntimeWarning)
     kwargs = {}
     if coordinator_address:
         kwargs["coordinator_address"] = coordinator_address

@@ -295,6 +295,18 @@ def main(args):
             "Teacher-Student training is not yet compatible with "
             "probabilistic sp | patch sampling")  # reference train.py:136-137
 
+    # Inert-but-parsed flags (dead in the reference too — parsed at
+    # code/utils/arguments.py:131,191 and never read): warn loudly instead
+    # of silently ignoring, matching the test CLI's warn_inert_flags.
+    if getattr(args, "lr_warmup_epochs", 0):
+        print("WARNING: --lr-warmup-epochs is parsed but not used (the "
+              "reference never implemented warmup either); the schedule is "
+              "per-step MultiStepLR only", flush=True)
+    if getattr(args, "sk_align", False):
+        print("WARNING: --sk-align is parsed but dead (as in the "
+              "reference); use --sk-targets for the Sinkhorn-Knopp target "
+              "path", flush=True)
+
     print("Arguments", end="\n" + "-" * 100 + "\n")
     for arg, value in vars(args).items():
         print(f"{arg} = {value}")

@@ -113,81 +113,3 @@ def test_supported_gate():
     assert not rconv_supported(8, 8, 7, 1, 3)    # stem
     assert not rconv_supported(4, 4, 3, 1, 1)    # too small for the fold
     assert not rconv_supported(64, 64, 3, 1, 1)  # VMEM-unfriendly, fallback
-
-
-@pytest.mark.parametrize("N,H,W,cin,cout", [
-    (3, 8, 8, 16, 32),
-    (2, 16, 16, 8, 8),     # layer1-like: the shape the variant targets
-    (17, 8, 8, 8, 8),      # batch not divisible by the tile
-])
-def test_tapconcat_forward_matches_oracle(N, H, W, cin, cout):
-    """Queued tap-concat forward (one K=9*C contraction) — exact vs the
-    reflect oracle in interpret mode; TPU perf A/B still pending."""
-    from videowalk_tpu.ops.rconv_kernel import reflect_conv3x3_tapconcat
-
-    x = _rand((N, H, W, cin), 5)
-    w = _rand((3, 3, cin, cout), 6) * 0.1
-    y = reflect_conv3x3_tapconcat(x, w)
-    np.testing.assert_allclose(np.asarray(y), np.asarray(_oracle(x, w)),
-                               rtol=1e-5, atol=1e-5)
-
-
-def test_tapconcat_gradients_match_oracle():
-    """The tap-concat variant shares the measured dx/dW backward kernels."""
-    from videowalk_tpu.ops.rconv_kernel import reflect_conv3x3_tapconcat
-
-    N, H, W, cin, cout = 4, 8, 8, 8, 16
-    x = _rand((N, H, W, cin), 7)
-    w = _rand((3, 3, cin, cout), 8) * 0.1
-    g = _rand((N, H, W, cout), 9)
-
-    def loss_k(x, w):
-        return jnp.sum(reflect_conv3x3_tapconcat(x, w) * g)
-
-    def loss_o(x, w):
-        return jnp.sum(_oracle(x, w) * g)
-
-    dxk, dwk = jax.grad(loss_k, argnums=(0, 1))(x, w)
-    dxo, dwo = jax.grad(loss_o, argnums=(0, 1))(x, w)
-    np.testing.assert_allclose(np.asarray(dxk), np.asarray(dxo),
-                               rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(dwk), np.asarray(dwo),
-                               rtol=1e-4, atol=1e-5)
-
-
-def test_tapconcat_env_routes_encoder(monkeypatch):
-    """VIDEOWALK_RCONV=tapconcat routes supported encoder convs through the
-    tap-concat kernel and the full forward stays exact vs =off."""
-    import videowalk_tpu.ops.reflect_conv as rc
-
-    x = _rand((2, 16, 16, 8), 10)
-
-    class _Conv:
-        def __init__(self):
-            self.w = np.asarray(_rand((3, 3, 8, 8), 11) * 0.1)
-            self.calls = []
-
-        def __call__(self, xx, padding):
-            self.calls.append(padding)
-            w = jnp.asarray(self.w)
-            if padding == "REFLECT_KERNEL_TC":
-                from videowalk_tpu.ops.rconv_kernel import (
-                    reflect_conv3x3_tapconcat)
-
-                return reflect_conv3x3_tapconcat(xx, w)
-            assert padding == "VALID"
-            return jax.lax.conv_general_dilated(
-                xx, w, (1, 1), "VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                precision=jax.lax.Precision.HIGHEST)
-
-    monkeypatch.setenv("VIDEOWALK_RCONV", "tapconcat")
-    conv = _Conv()
-    y_tc = rc.reflect_conv2d(x, conv, kernel=3, stride=1, pad=1)
-    assert conv.calls == ["REFLECT_KERNEL_TC"]
-
-    monkeypatch.setenv("VIDEOWALK_RCONV", "off")
-    conv2 = _Conv()
-    y_off = rc.reflect_conv2d(x, conv2, kernel=3, stride=1, pad=1)
-    np.testing.assert_allclose(np.asarray(y_tc), np.asarray(y_off),
-                               rtol=1e-5, atol=1e-5)

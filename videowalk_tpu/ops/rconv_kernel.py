@@ -55,6 +55,16 @@ cached shifts (fewer rolls, but larger live-set on Mosaic's stack —
 neutral-to-slower). Lesson: isolated per-conv wins do not compose; gate
 changes must be A/B'd on the full step.
 
+Dead end, do NOT rebuild (v5e, 2026-08-18): a "tap-concat" forward that
+stacked the 9 fixed-tap views in a (9, M, C) buffer and contracted (tap, C)
+jointly in one dot_general — hoping Mosaic would lower K = 9*C as a single
+matmul for the MXU-starved low-C layers — fails Mosaic verification
+outright: `tpu.matmul` only supports a single size-1 contracting dim
+("lhs contracting dims must be of size 1"). Physically building the (M, 9C)
+concat instead needs either a sublane relayout per tap (the v1 formulation,
+measured 235 vs 130 ms/step) or lane-offset stores at multiples of C < 128
+(misaligned at the C=64 layer the idea targeted). Deleted in round 3.
+
 Exactness is pinned by tests/test_rconv_kernel.py against reflect-pad+VALID:
 forward, input gradient, and kernel gradient.
 """
@@ -238,57 +248,6 @@ def _fwd_call(x, w9, interpret):
     return y[:N]
 
 
-def _fwd_tc_kernel(x_ref, w_ref, o_ref, tap_ref, *, H, W, g):
-    """Tap-concat forward: materialize all 9 fixed-tap views in one
-    (9, M, C) buffer, then contract over (tap, C) JOINTLY in a single
-    dot_general — if Mosaic lowers the two contracting dims as one matmul,
-    the MXU sees K = 9*C (576 at layer1) instead of nine starved K=C
-    passes. QUEUED EXPERIMENT (STATUS round-4 roadmap; TPU queue #6):
-    exact in interpret mode (pinned by tests), compile/perf on real TPU
-    still unmeasured — `auto` never selects it; VIDEOWALK_RCONV=tapconcat
-    opts in for the A/B (tools/ab_flagship.py), keep or delete on the
-    measurement."""
-    cin = x_ref.shape[-1]
-    cout = o_ref.shape[-1]
-    M = g * H * W
-    x2 = x_ref[...].reshape(M, cin)
-    masks = _edge_masks(M, H, W)
-    for t, (dy, dx) in enumerate(TAPS):
-        tap_ref[t] = _fixed_tap(x2, dy, dx, H, W, masks)
-    acc = jax.lax.dot_general(
-        tap_ref[...], w_ref[...],
-        dimension_numbers=(((0, 2), (0, 1)), ((), ())),
-        preferred_element_type=jnp.float32)               # (M, cout)
-    o_ref[...] = acc.reshape(g, H, W, cout).astype(o_ref.dtype)
-
-
-def _fwd_tc_call(x, w9, interpret):
-    N, H, W, cin = x.shape
-    cout = w9.shape[-1]
-    # the (9, M, C) tap buffer is the footprint driver: ~9 input-dtype
-    # copies + the roll/select chain + the f32 product
-    g = _g_for(H * W, cin, cout, x.dtype.itemsize, n_live=12)
-    pad_n = (-N) % g
-    x = _pad_batch(x, pad_n)
-    y = pl.pallas_call(
-        functools.partial(_fwd_tc_kernel, H=H, W=W, g=g),
-        grid=((N + pad_n) // g,),
-        in_specs=[
-            pl.BlockSpec((g, H, W, cin), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, cin, cout), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((g, H, W, cout), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N + pad_n, H, W, cout), x.dtype),
-        scratch_shapes=[pltpu.VMEM((9, g * H * W, cin), x.dtype)],
-        compiler_params=_COMPILER_PARAMS,
-        interpret=interpret,
-    )(x, w9)
-    return y[:N]
-
-
 # ----------------------------------------------------------------- backward
 
 
@@ -430,24 +389,6 @@ def _vjp_bwd(res, g):
 
 
 reflect_conv3x3.defvjp(_vjp_fwd, _vjp_bwd)
-
-
-@jax.custom_vjp
-def reflect_conv3x3_tapconcat(x: jax.Array, w: jax.Array) -> jax.Array:
-    """``reflect_conv3x3`` with the tap-concat forward (see _fwd_tc_kernel:
-    one K=9*C contraction instead of nine K=C matmuls — queued experiment,
-    VIDEOWALK_RCONV=tapconcat). Backward shares the measured dx/dW
-    kernels — the VJP math is independent of how the forward is fused."""
-    w9 = w.reshape(9, w.shape[2], w.shape[3])
-    return _fwd_tc_call(x, w9, _should_interpret())
-
-
-def _vjp_tc_fwd(x, w):
-    w9 = w.reshape(9, w.shape[2], w.shape[3])
-    return _fwd_tc_call(x, w9, _should_interpret()), (x, w9)
-
-
-reflect_conv3x3_tapconcat.defvjp(_vjp_tc_fwd, _vjp_bwd)
 
 
 def rconv_supported(H: int, W: int, kernel: int, stride: int,

@@ -82,13 +82,6 @@ class PadConv(nn.Module):
             from videowalk_tpu.ops.rconv_kernel import reflect_conv3x3
 
             return reflect_conv3x3(xc, wc)
-        if padding == "REFLECT_KERNEL_TC":
-            # tap-concat forward variant (queued experiment — see
-            # rconv_kernel._fwd_tc_kernel; VIDEOWALK_RCONV=tapconcat)
-            from videowalk_tpu.ops.rconv_kernel import (
-                reflect_conv3x3_tapconcat)
-
-            return reflect_conv3x3_tapconcat(xc, wc)
         if padding == "RING_DOTS":
             y = self._plain_conv(xc, wc, [(1, 1), (1, 1)])
             return _ring_dots_delta(xc, wc, y)
@@ -244,18 +237,14 @@ def reflect_conv2d(x: jax.Array, conv, kernel: int, stride: int,
     # the reflect-vs-zeros gap) through the kernel, on TPU only; ``on``
     # forces it for every supported shape.
     rmode = os.environ.get("VIDEOWALK_RCONV", "auto")
-    if rmode in ("on", "auto", "tapconcat"):
+    if rmode in ("on", "auto"):
         from videowalk_tpu.ops.rconv_kernel import rconv_supported
 
         if rconv_supported(H, W, kernel, stride, pad) and (
-                rmode in ("on", "tapconcat")
+                rmode == "on"
                 or (H == 8 and W == 8 and C >= 512
                     and jax.default_backend() == "tpu")):
-            # 'tapconcat' routes every supported shape through the queued
-            # tap-concat forward experiment (exact; TPU perf unmeasured —
-            # A/B with tools/ab_flagship.py, keep or delete on the result)
-            return conv(x, "REFLECT_KERNEL" if rmode != "tapconcat"
-                        else "REFLECT_KERNEL_TC")
+            return conv(x, "REFLECT_KERNEL")
     fuse = _fuse_mode()
     if fuse == "dots" and kernel == 3 and stride == 1 and pad == 1 \
             and H >= 2 and W >= 2:

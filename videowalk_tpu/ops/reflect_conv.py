@@ -240,9 +240,17 @@ def reflect_conv2d(x: jax.Array, conv, kernel: int, stride: int,
     if rmode in ("on", "auto"):
         from videowalk_tpu.ops.rconv_kernel import rconv_supported
 
+        # VIDEOWALK_RCONV_MIN_C: auto-gate channel floor (read at trace
+        # time). 512 = the measured-winning layer4 interiors; 256 would add
+        # the layer3 interiors (A/B'd full-step before any default change —
+        # the layer4-conv1 widening trap in the module docstring).
+        min_c = int(os.environ.get("VIDEOWALK_RCONV_MIN_C", "512"))
         if rconv_supported(H, W, kernel, stride, pad) and (
                 rmode == "on"
-                or (H == 8 and W == 8 and C >= 512
+                or (H == 8 and W == 8 and C >= min_c
+                    and C == conv.features  # interior convs only: the
+                    # channel-changing first convs measured as full-step
+                    # regressions even when winning in isolation
                     and jax.default_backend() == "tpu")):
             return conv(x, "REFLECT_KERNEL")
     fuse = _fuse_mode()

@@ -215,3 +215,50 @@ def test_bfloat16_encoder_train_step():
     # bf16 trunk rounding perturbs the walk inputs but must not change the
     # loss regime
     np.testing.assert_allclose(losses["bf16"], losses["f32"], rtol=5e-2)
+
+
+def test_selective_remat_matches_no_remat():
+    """Selective remat (remat_stages) is pure graph surgery: loss AND
+    gradients must match the no-remat model exactly (jax.checkpoint replays
+    the same primitives, so anything beyond float-associativity noise means
+    a stage was silently dropped or double-applied)."""
+    from videowalk_tpu.models import CRW, CRWConfig
+    from videowalk_tpu.parallel import (create_train_state, make_optimizer,
+                                        make_train_step)
+
+    rng = np.random.RandomState(1)
+    batch = jnp.asarray(rng.randn(1, 3, 4, 32, 32, 3).astype(np.float32))
+
+    got = {}
+    for name, kw in (
+            ("none", dict(remat=False)),
+            ("all", dict(remat=True)),
+            ("sel", dict(remat=True, remat_stages="layer1,layer2,layer3")),
+    ):
+        cfg = CRWConfig(model_type="scratch_zeropad", temperature=0.05, **kw)
+        model = CRW(cfg)
+        optimizer = make_optimizer(lr=1e-3)
+        state = create_train_state(model, optimizer, batch[:1],
+                                   jax.random.PRNGKey(0))
+        step = make_train_step(model, optimizer, donate=False)
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(7))
+        flat = np.concatenate([np.asarray(x).ravel() for x in
+                               jax.tree_util.tree_leaves(new_state.params)])
+        got[name] = (float(metrics["loss"]), flat)
+
+    for name in ("all", "sel"):
+        np.testing.assert_allclose(got[name][0], got["none"][0], rtol=1e-6,
+                                   err_msg=name)
+        np.testing.assert_allclose(got[name][1], got["none"][1],
+                                   rtol=1e-4, atol=1e-7, err_msg=name)
+
+
+def test_remat_stages_typo_raises():
+    """A typo'd stage name must fail loudly, not silently buy no memory."""
+    from videowalk_tpu.models.resnet import _remat_stage_set
+
+    with pytest.raises(ValueError, match="unknown stage"):
+        _remat_stage_set("layer1,layer5")
+    assert _remat_stage_set("all") == _remat_stage_set("")
+    assert _remat_stage_set("layer2, layer4") == frozenset(
+        {"layer2", "layer4"})

@@ -57,6 +57,7 @@ def model_config(args) -> CRWConfig:
         dilation_kernel_size=args.dilation_kernel_size,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         remat=getattr(args, "remat", False),
+        remat_stages=getattr(args, "remat_stages", None) or None,
     )
 
 

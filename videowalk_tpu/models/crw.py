@@ -70,6 +70,11 @@ class CRWConfig:
     dtype: jnp.dtype = jnp.float32
     # Rematerialize encoder blocks in backward (memory for FLOPs).
     remat: bool = False
+    # Selective remat: comma list of stages to remat ("layer1,layer2,layer3"
+    # keeps layer4 stored — ~72% of the recompute FLOPs for one extra stage
+    # of 8x8 activations); None defers to VIDEOWALK_REMAT_STAGES, ""/"all"
+    # remats every stage. See models/resnet.py::ResNet.remat_stages.
+    remat_stages: str | None = None
     # Fused Pallas walk kernel (ops/walk_kernel.py): 'auto' uses it on TPU
     # when the config allows (ZeroSoftmax, no flip/sk); 'on'/'off' force.
     # Numerics match the XLA path to ~1e-4 (TPU VPU transcendentals).
@@ -290,7 +295,7 @@ class CRW(nn.Module):
         self.spec: EncoderSpec = make_encoder(
             self.cfg.model_type, self.cfg.remove_layers, dtype=self.cfg.dtype,
             pretrained_path=self.cfg.pretrained_path or None,
-            remat=self.cfg.remat)
+            remat=self.cfg.remat, remat_stages=self.cfg.remat_stages)
         self.encoder = self.spec.module
         self.selfsim_fc = Head(
             in_dim=self.spec.hid_dim, depth=self.cfg.head_depth,

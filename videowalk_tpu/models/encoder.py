@@ -103,6 +103,7 @@ def make_encoder(
     dtype: Any = jnp.float32,
     pretrained_path: str | None = None,
     remat: bool = False,
+    remat_stages: str | None = None,
 ) -> EncoderSpec:
     """Build an encoder by reference model-type name.
 
@@ -121,19 +122,25 @@ def make_encoder(
     remove_layers = tuple(remove_layers)
     needs_ckpt = None
     if model_type == "scratch":
-        trunk = resnet18("reflect", remove_layers, dtype=dtype, remat=remat)
+        trunk = resnet18("reflect", remove_layers, dtype=dtype, remat=remat,
+                         remat_stages=remat_stages)
     elif model_type == "scratch_zeropad":
-        trunk = resnet18("zeros", remove_layers, dtype=dtype, remat=remat)
+        trunk = resnet18("zeros", remove_layers, dtype=dtype, remat=remat,
+                         remat_stages=remat_stages)
     elif model_type == "scratch50":
-        trunk = resnet50("reflect", remove_layers, dtype=dtype, remat=remat)
+        trunk = resnet50("reflect", remove_layers, dtype=dtype, remat=remat,
+                         remat_stages=remat_stages)
     elif model_type == "imagenet18":
-        trunk = resnet18("zeros", remove_layers, dtype=dtype, remat=remat)
+        trunk = resnet18("zeros", remove_layers, dtype=dtype, remat=remat,
+                         remat_stages=remat_stages)
         needs_ckpt = "imagenet resnet18 .pth"
     elif model_type in ("imagenet50", "moco50", "timecycle"):
-        trunk = resnet50("zeros", remove_layers, dtype=dtype, remat=remat)
+        trunk = resnet50("zeros", remove_layers, dtype=dtype, remat=remat,
+                         remat_stages=remat_stages)
         needs_ckpt = f"{model_type} .pth"
     elif model_type == "uvc":
-        trunk = resnet18("zeros", remove_layers, dtype=dtype, remat=remat)
+        trunk = resnet18("zeros", remove_layers, dtype=dtype, remat=remat,
+                         remat_stages=remat_stages)
         needs_ckpt = "uvc .pth.tar"
     else:
         raise ValueError(f"invalid model_type: {model_type!r}")

@@ -164,6 +164,18 @@ class ResNet(nn.Module):
     # reference's large-activation regime (stride-1 layer3/4 keep 32x32
     # maps at 256^2 inputs; SURVEY.md §7 hard parts).
     remat: bool = False
+    # Selective remat: which stages to rematerialize when `remat` is on.
+    # "" / "all" = every stage (full remat, the safe default). A comma list
+    # like "layer1,layer2,layer3" remats only the listed stages — stages
+    # NOT listed keep their interior activations stored. Recompute cost is
+    # ~proportional to a stage's fwd FLOPs while its memory cost is its
+    # interior activation bytes, and at the modified-resnet18 geometry that
+    # ratio is lopsided: layer4 is ~72% of the recompute FLOPs but stores
+    # the same 8x8 maps as layer3 — so "layer1,layer2,layer3" (keep layer4
+    # stored) cuts remat overhead ~33%->~9% when the extra bytes fit.
+    # Env override VIDEOWALK_REMAT_STAGES (trace-time, like
+    # VIDEOWALK_RCONV_MIN_C) applies when this field is None.
+    remat_stages: str | None = None
 
     @property
     def hid_dim(self) -> int:
@@ -192,7 +204,7 @@ class ResNet(nn.Module):
             filters = widths[stage]
             out_features = filters * self.block_cls.expansion
             block_cls = self.block_cls
-            if self.remat:
+            if self.remat and name in _remat_stage_set(self.remat_stages):
                 block_cls = nn.remat(self.block_cls,
                                      static_argnums=(2,))
             for blk in range(self.stage_sizes[stage]):
@@ -208,6 +220,31 @@ class ResNet(nn.Module):
         return x
 
 
+_ALL_STAGES = frozenset({"layer1", "layer2", "layer3", "layer4"})
+
+
+def _remat_stage_set(remat_stages: str | None) -> frozenset:
+    """Resolve the selective-remat stage set (see ResNet.remat_stages).
+
+    None defers to the trace-time env knob VIDEOWALK_REMAT_STAGES;
+    ""/"all" means every stage. Unknown stage names are rejected loudly —
+    a typo here would silently buy no memory and cost full recompute.
+    """
+    import os
+
+    if remat_stages is None:
+        remat_stages = os.environ.get("VIDEOWALK_REMAT_STAGES", "all")
+    if remat_stages in ("", "all"):
+        return _ALL_STAGES
+    stages = frozenset(s.strip() for s in remat_stages.split(",") if s.strip())
+    bad = stages - _ALL_STAGES
+    if bad:
+        raise ValueError(
+            f"remat_stages contains unknown stage(s) {sorted(bad)}; "
+            f"valid: {sorted(_ALL_STAGES)} or 'all'")
+    return stages
+
+
 def _encoder_strides(modify_stride: bool) -> tuple[int, int, int, int]:
     """torchvision strides (1,2,2,2); `modify()` flattens layer3/4 to 1."""
     return (1, 2, 1, 1) if modify_stride else (1, 2, 2, 2)
@@ -219,13 +256,14 @@ def resnet18(
     modify_stride: bool = True,
     dtype=jnp.float32,
     remat: bool = False,
+    remat_stages: str | None = None,
 ) -> ResNet:
     """ResNet-18 trunk (reference ctor code/resnet.py:66-68 + modify)."""
     return ResNet(
         block_cls=BasicBlock, stage_sizes=(2, 2, 2, 2),
         stage_strides=_encoder_strides(modify_stride),
         padding_mode=padding_mode, remove_layers=tuple(remove_layers),
-        dtype=dtype, remat=remat)
+        dtype=dtype, remat=remat, remat_stages=remat_stages)
 
 
 def resnet50(
@@ -234,10 +272,11 @@ def resnet50(
     modify_stride: bool = True,
     dtype=jnp.float32,
     remat: bool = False,
+    remat_stages: str | None = None,
 ) -> ResNet:
     """ResNet-50 trunk (reference ctor code/resnet.py:71-73 + modify)."""
     return ResNet(
         block_cls=Bottleneck, stage_sizes=(3, 4, 6, 3),
         stage_strides=_encoder_strides(modify_stride),
         padding_mode=padding_mode, remove_layers=tuple(remove_layers),
-        dtype=dtype, remat=remat)
+        dtype=dtype, remat=remat, remat_stages=remat_stages)

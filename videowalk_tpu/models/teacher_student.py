@@ -73,13 +73,15 @@ class CRWTeacherStudent(nn.Module):
                 "teacher-student model (the reference's TS forward ignores "
                 "them too); drop the flag or train plain CRW")
         spec = make_encoder(self.cfg.model_type, self.cfg.remove_layers,
-                            dtype=self.cfg.dtype, remat=self.cfg.remat)
+                            dtype=self.cfg.dtype, remat=self.cfg.remat,
+                            remat_stages=self.cfg.remat_stages)
         self.student_encoder = spec.module
         self.student_head = Head(in_dim=spec.hid_dim,
                                  depth=self.cfg.head_depth,
                                  use_bias=True, name="student_head")
         tspec = make_encoder(self.cfg.model_type, self.cfg.remove_layers,
-                             dtype=self.cfg.dtype, remat=self.cfg.remat)
+                             dtype=self.cfg.dtype, remat=self.cfg.remat,
+                             remat_stages=self.cfg.remat_stages)
         self.teacher_encoder = tspec.module
         self.teacher_head = Head(in_dim=tspec.hid_dim,
                                  depth=self.cfg.head_depth,

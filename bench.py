@@ -183,6 +183,11 @@ def main():
         "value": round(clips_per_sec_per_chip, 3),
         "unit": "clips/s/chip",
         "vs_baseline": round(clips_per_sec_per_chip / baseline, 3),
+        # vs_baseline's denominator is THIS framework's round-1 recorded
+        # number (BENCH_BASELINE.json), not a reference figure — the
+        # reference publishes no throughput at all (BASELINE.md).
+        "baseline": "self-round1 (%.1f clips/s/chip; reference publishes "
+                    "no number)" % baseline,
     }
     if mfu_pct is not None:
         out["mfu_pct"] = round(mfu_pct, 1)

@@ -40,7 +40,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_step(batch_size: int, clip_len: int, n_patches: int, patch: int,
-               remat: bool):
+               remat: bool, report_memory: bool = False):
     """Fresh model + jitted K-step loop (new trace, current env).
 
     The loop body is the PRODUCTION step (parallel/train_step.
@@ -80,6 +80,19 @@ def build_step(batch_size: int, clip_len: int, n_patches: int, patch: int,
 
     key = jax.random.PRNGKey(1)
 
+    mem = None
+    if report_memory:
+        # Compiler buffer-allocation peak for ONE step — deterministic,
+        # unlike device memory_stats()['peak_bytes_in_use'] which is
+        # cumulative across every variant traced in this process.
+        try:
+            ma = run_k.lower(state, batch, key, 1).compile().memory_analysis()
+            mem = {"temp_gib": round(ma.temp_size_in_bytes / 2**30, 3),
+                   "args_gib": round(ma.argument_size_in_bytes / 2**30, 3),
+                   "output_gib": round(ma.output_size_in_bytes / 2**30, 3)}
+        except Exception as e:  # tunnel backends may not expose it
+            mem = {"error": repr(e)}
+
     def timed(k):
         t0 = time.perf_counter()
         _, loss = run_k(state, batch, key, k)
@@ -87,7 +100,7 @@ def build_step(batch_size: int, clip_len: int, n_patches: int, patch: int,
         assert np.isfinite(loss), f"non-finite loss {loss}"
         return time.perf_counter() - t0
 
-    return timed
+    return timed, mem
 
 
 def main(argv=None):
@@ -100,7 +113,12 @@ def main(argv=None):
     p.add_argument("--clip-len", type=int, default=8)
     p.add_argument("--n-patches", type=int, default=49)
     p.add_argument("--patch", type=int, default=64)
-    p.add_argument("--remat", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="default remat setting; a variant overrides it with "
+                        "the pseudo-env token @remat=0/1")
+    p.add_argument("--report-memory", action="store_true",
+                   help="print the compiled one-step memory_analysis "
+                        "(temp/args/output GiB) per variant")
     p.add_argument("--k1", type=int, default=2)
     p.add_argument("--k2", type=int, default=12)
     p.add_argument("--rounds", type=int, default=3,
@@ -112,12 +130,24 @@ def main(argv=None):
     for spec in args.variant:
         name, _, envs = spec.partition(":")
         env = {}
+        remat = args.remat
         if envs:
+            last = None
             for kv in envs.split(","):
+                if "=" not in kv and last is not None:
+                    # comma-valued env (e.g. REMAT_STAGES=layer1,layer2):
+                    # a segment without '=' continues the previous value
+                    env[last] += "," + kv.strip()
+                    continue
                 k, _, v = kv.partition("=")
-                env[k.strip()] = v.strip()
-                touched.add(k.strip())
-        variants.append((name, env))
+                k, v = k.strip(), v.strip()
+                if k == "@remat":   # harness option, not an env var
+                    remat = v not in ("", "0")
+                    continue
+                env[k] = v
+                touched.add(k)
+                last = k
+        variants.append((name, env, remat))
     base_env = {k: os.environ.get(k) for k in touched}
 
     def apply_env(env):
@@ -136,19 +166,30 @@ def main(argv=None):
     respect_jax_platforms_env()
     import jax
 
+    try:   # tunnel compiles cost minutes; reuse across repeat runs
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/videowalk_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     print(f"# devices: {jax.devices()}", flush=True)
 
     timers = {}
-    for name, env in variants:
+    for name, env, remat in variants:
         apply_env(env)
-        timers[name] = build_step(args.batch, args.clip_len, args.n_patches,
-                                  args.patch, args.remat)
+        timers[name], mem = build_step(
+            args.batch, args.clip_len, args.n_patches, args.patch, remat,
+            report_memory=args.report_memory)
+        if mem is not None:
+            print(json.dumps({"variant": name, "memory_analysis": mem}),
+                  flush=True)
         timers[name](args.k1)   # compile both trip counts
         timers[name](args.k2)
 
-    steps = {name: [] for name, _ in variants}
+    steps = {name: [] for name, _, _ in variants}
     for r in range(args.rounds):
-        for name, env in variants:
+        for name, env, _ in variants:
             apply_env(env)      # harmless post-trace; keeps logs truthful
             t1 = timers[name](args.k1)
             t2 = timers[name](args.k2)

@@ -57,7 +57,10 @@ def model_config(args) -> CRWConfig:
         dilation_kernel_size=args.dilation_kernel_size,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         remat=getattr(args, "remat", False),
-        remat_stages=getattr(args, "remat_stages", None) or None,
+        # None (flag absent) defers to VIDEOWALK_REMAT_STAGES at trace time;
+        # an explicit "" / "all" pins every stage, overriding the env
+        # (CRWConfig docstring contract).
+        remat_stages=getattr(args, "remat_stages", None),
     )
 
 
@@ -307,6 +310,17 @@ def main(args):
         print("WARNING: --sk-align is parsed but dead (as in the "
               "reference); use --sk-targets for the Sinkhorn-Knopp target "
               "path", flush=True)
+    # --remat-stages: validate eagerly (a typo'd stage list must fail at
+    # startup even when resnet.py's remat gate would never read it), and
+    # warn when it is inert because --remat is off.
+    if getattr(args, "remat_stages", None) is not None:
+        from videowalk_tpu.models.resnet import _remat_stage_set
+
+        _remat_stage_set(args.remat_stages)
+        if not getattr(args, "remat", False):
+            print("WARNING: --remat-stages is inert without --remat "
+                  "(selective remat only chooses WHICH stages remat)",
+                  flush=True)
 
     print("Arguments", end="\n" + "-" * 100 + "\n")
     for arg, value in vars(args).items():

@@ -25,26 +25,31 @@ from videowalk_tpu.data.vos import IMAGENET_MEAN, IMAGENET_STD, load_image, resi
 
 
 def draw_labelmap_np(img, pt, sigma, kind="Gaussian"):
-    """Draw a 2D gaussian at pt into img (reference jhmdb.py:287-319)."""
-    ul = [int(pt[0] - 3 * sigma), int(pt[1] - 3 * sigma)]
-    br = [int(pt[0] + 3 * sigma + 1), int(pt[1] + 3 * sigma + 1)]
-    if (ul[0] >= img.shape[1] or ul[1] >= img.shape[0]
-            or br[0] < 0 or br[1] < 0):
-        return img
+    """Stamp a truncated 2D Gaussian (or Cauchy) bump into ``img`` at ``pt``.
+
+    Matches the reference's heatmap semantics (jhmdb.py:287-319) exactly —
+    the bump is centred on the *int-truncated* window origin plus half the
+    window (not on ``pt`` itself), values inside the (6σ+1)-wide window
+    overwrite the image, everything outside is untouched — but is computed
+    as one whole-image mask assignment instead of ul/br box arithmetic.
+    """
+    h, w = img.shape
+    # window bounds, int() truncation as in the reference (not floor)
+    ux, uy = int(pt[0] - 3 * sigma), int(pt[1] - 3 * sigma)
+    bx, by = int(pt[0] + 3 * sigma + 1), int(pt[1] + 3 * sigma + 1)
+    if ux >= w or uy >= h or bx < 0 or by < 0:
+        return img  # bump entirely off-image
     size = 6 * sigma + 1
-    x = np.arange(0, size, 1, float)
-    y = x[:, np.newaxis]
-    x0 = y0 = size // 2
+    cx, cy = ux + size // 2, uy + size // 2  # quantized stamp centre
+    xs = np.arange(w, dtype=float)[None, :]
+    ys = np.arange(h, dtype=float)[:, None]
+    d2 = (xs - cx) ** 2 + (ys - cy) ** 2
     if kind == "Gaussian":
-        g = np.exp(-((x - x0) ** 2 + (y - y0) ** 2) / (2 * sigma ** 2))
+        g = np.exp(-d2 / (2 * sigma ** 2))
     else:  # Cauchy
-        g = sigma / (((x - x0) ** 2 + (y - y0) ** 2 + sigma ** 2) ** 1.5)
-    g_x = max(0, -ul[0]), min(br[0], img.shape[1]) - ul[0]
-    g_y = max(0, -ul[1]), min(br[1], img.shape[0]) - ul[1]
-    img_x = max(0, ul[0]), min(br[0], img.shape[1])
-    img_y = max(0, ul[1]), min(br[1], img.shape[0])
-    img[img_y[0]:img_y[1], img_x[0]:img_x[1]] = \
-        g[g_y[0]:g_y[1], g_x[0]:g_x[1]]
+        g = sigma / ((d2 + sigma ** 2) ** 1.5)
+    inside = (xs >= ux) & (xs < bx) & (ys >= uy) & (ys < by)
+    img[inside] = g[inside]
     return img
 
 

@@ -15,7 +15,9 @@ from __future__ import annotations
 
 import argparse
 import itertools
+import json
 import os
+import re
 import subprocess
 import sys
 
@@ -62,16 +64,40 @@ def run_one(ckpt: str, L: int, K: int, T: float, R: float, args) -> dict:
     if args.sbatch:
         script = os.path.join(save_path, "job.sh")
         with open(script, "w") as f:
-            f.write("#!/bin/bash\n")
+            f.write("#!/bin/bash\nset -e\n")
             for c in cmds:
                 f.write(" ".join(c) + "\n")
-        subprocess.run(["sbatch", script], check=False)
-        return {"name": name, "submitted": True}
+        # A missing/failing sbatch must be loud (repo convention): a sweep
+        # that "ran" but submitted nothing is worse than one that crashed.
+        try:
+            sub = subprocess.run(["sbatch", script], capture_output=True,
+                                 text=True)
+        except FileNotFoundError as e:
+            return {"name": name, "rc": 127, "error": f"sbatch not found: {e}"}
+        if sub.returncode != 0:
+            return {"name": name, "rc": sub.returncode,
+                    "error": (sub.stderr or sub.stdout).strip()[-500:]}
+        return {"name": name, "rc": 0, "submitted": True,
+                "sbatch": sub.stdout.strip()}
 
+    jf = None
     for c in cmds:
         print("+", " ".join(c), flush=True)
-        subprocess.run(c, check=True)
-    return {"name": name, "done": True}
+        is_metrics = "videowalk_tpu.eval.davis_metrics" in c
+        # metrics stdout is captured (and re-echoed) so the combo's J&F
+        # lands in the sweep summary; earlier stages stream directly
+        r = subprocess.run(c, capture_output=is_metrics, text=True)
+        if is_metrics and r.stdout:
+            print(r.stdout, end="", flush=True)
+        if r.returncode != 0:
+            if is_metrics and r.stderr:
+                print(r.stderr, end="", file=sys.stderr, flush=True)
+            return {"name": name, "rc": r.returncode,
+                    "failed_cmd": " ".join(c)}
+        if is_metrics:
+            m = re.search(r"'J&F-Mean': ([0-9.]+)", r.stdout)
+            jf = float(m.group(1)) if m else None
+    return {"name": name, "rc": 0, "jf_mean": jf}
 
 
 def main(argv=None):
@@ -102,9 +128,23 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     ckpts = [newest_model(c) for c in args.checkpoints]
+    results = []
     for ckpt, L, K, T, R in itertools.product(ckpts, args.L, args.K,
                                               args.T, args.R):
-        run_one(ckpt, L, K, T, R, args)
+        results.append(run_one(ckpt, L, K, T, R, args))
+
+    # Per-combo summary (reference's sweep produces no artifact at all);
+    # any failed combo makes the sweep exit non-zero.
+    print("\n== sweep summary ==")
+    for r in results:
+        print(json.dumps(r), flush=True)
+    os.makedirs(args.out_dir, exist_ok=True)
+    with open(os.path.join(args.out_dir, "sweep_summary.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    failed = [r["name"] for r in results if r.get("rc", 1) != 0]
+    if failed:
+        sys.exit(f"sweep: {len(failed)}/{len(results)} combos failed: "
+                 f"{failed}")
 
 
 if __name__ == "__main__":

@@ -237,11 +237,13 @@ def train_args(argv=None):
     parser.add_argument("--remat", default=False, action="store_true",
                         help="rematerialize encoder blocks in backward "
                              "(memory for ~30% FLOPs; big-batch 256px runs)")
-    parser.add_argument("--remat-stages", default="", type=str,
+    parser.add_argument("--remat-stages", default=None, type=str,
                         help="with --remat: comma list of stages to remat "
                              "(e.g. layer1,layer2,layer3 keeps layer4's "
                              "activations stored — cuts recompute ~33%%->~9%% "
-                             "when the extra bytes fit); empty = all stages")
+                             "when the extra bytes fit); '' or 'all' = every "
+                             "stage; flag absent = defer to the trace-time "
+                             "env VIDEOWALK_REMAT_STAGES (default all)")
     parser.add_argument("--augs-backend", default="host", type=str,
                         help="host (numpy/cv2 in loader threads) | device "
                              "(batched on-TPU 3-view transform)")

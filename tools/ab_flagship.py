@@ -39,6 +39,35 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+_SHARED = {}   # one device-resident (state, batch, optimizer) per shape —
+               # per-variant copies OOM the chip at batch 32 (5 variants x
+               # 616 MB batch + state alongside a 13 GiB-temp executable)
+
+
+def _shared_state_and_batch(batch_size, clip_len, n_patches, patch):
+    import jax
+    import jax.numpy as jnp
+
+    from videowalk_tpu.models import CRW, CRWConfig
+    from videowalk_tpu.parallel import create_train_state, make_optimizer
+
+    key = (batch_size, clip_len, n_patches, patch)
+    if key not in _SHARED:
+        # state structure is identical across variants (remat is pure graph
+        # surgery — tests/test_models_extra.py pins loss AND grads equal)
+        model = CRW(CRWConfig(model_type="scratch", temperature=0.05,
+                              edgedrop_rate=0.1, dtype=jnp.bfloat16))
+        optimizer = make_optimizer(lr=3e-4)
+        rng = np.random.RandomState(0)
+        batch = jnp.asarray(
+            rng.randn(batch_size, clip_len, n_patches, patch, patch, 3)
+            .astype(np.float32))
+        state = create_train_state(model, optimizer, batch[:1],
+                                   jax.random.PRNGKey(0))
+        _SHARED[key] = (state, batch, optimizer)
+    return _SHARED[key]
+
+
 def build_step(batch_size: int, clip_len: int, n_patches: int, patch: int,
                remat: bool, report_memory: bool = False):
     """Fresh model + jitted K-step loop (new trace, current env).
@@ -52,19 +81,13 @@ def build_step(batch_size: int, clip_len: int, n_patches: int, patch: int,
     import jax.numpy as jnp
 
     from videowalk_tpu.models import CRW, CRWConfig
-    from videowalk_tpu.parallel import (create_train_state, make_optimizer,
-                                        make_train_step)
+    from videowalk_tpu.parallel import make_train_step
 
     model = CRW(CRWConfig(model_type="scratch", temperature=0.05,
                           edgedrop_rate=0.1, dtype=jnp.bfloat16,
                           remat=remat))
-    optimizer = make_optimizer(lr=3e-4)
-    rng = np.random.RandomState(0)
-    batch = jnp.asarray(
-        rng.randn(batch_size, clip_len, n_patches, patch, patch, 3)
-        .astype(np.float32))
-    state = create_train_state(model, optimizer, batch[:1],
-                               jax.random.PRNGKey(0))
+    state, batch, optimizer = _shared_state_and_batch(
+        batch_size, clip_len, n_patches, patch)
     # donate=False: the step is called inside the outer jit's fori_loop
     # (donation is meaningless mid-trace) and again as the carry seed
     one_step = make_train_step(model, optimizer, donate=False)

@@ -78,9 +78,19 @@ class PadConv(nn.Module):
         xc, wc = x.astype(self.dtype), w.astype(self.dtype)
         if padding == "REFLECT_KERNEL":
             # fused Pallas reflect conv (ops/rconv_kernel.py): reflect
-            # indexing in VMEM, no HBM pad copy, hand VJP
-            from videowalk_tpu.ops.rconv_kernel import reflect_conv3x3
+            # indexing in VMEM, no HBM pad copy, hand VJP.
+            # VIDEOWALK_RCONV_ALGO (trace time): flat (default) | rowpad
+            # (the v3 row-padded-pitch formulation — pure-roll taps at
+            # (H+2)/H extra matmul rows; see rconv_kernel.py module note).
+            from videowalk_tpu.ops.rconv_kernel import (
+                reflect_conv3x3, reflect_conv3x3_rowpad)
 
+            algo = os.environ.get("VIDEOWALK_RCONV_ALGO", "flat")
+            if algo == "rowpad":
+                return reflect_conv3x3_rowpad(xc, wc)
+            if algo != "flat":
+                raise ValueError(
+                    f"VIDEOWALK_RCONV_ALGO={algo!r}: want flat | rowpad")
             return reflect_conv3x3(xc, wc)
         if padding == "RING_DOTS":
             y = self._plain_conv(xc, wc, [(1, 1), (1, 1)])

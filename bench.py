@@ -39,6 +39,13 @@ PATCH = 64
 #   VIDEOWALK_BENCH_BATCH=32 VIDEOWALK_BENCH_REMAT=1 python bench.py
 BATCH = int(os.environ.get("VIDEOWALK_BENCH_BATCH", "8"))
 REMAT = os.environ.get("VIDEOWALK_BENCH_REMAT", "") not in ("", "0")
+# Batch-32 remat ladder (v5e, 2026-08-19, same-process interleaved):
+# off 552.2 ms (58.0 clips/s, 13.36 GiB temp) | layer1 543.5 (58.9, 13.17)
+# | layer1,layer2 543.8 (58.8, 12.79) | layer1..3 552.5 (57.9, 11.32) |
+# full 636.6 (50.3, 10.53). Selective remat of layer1 ONLY is the winner —
+# recomputing the cheap-FLOPs/large-bytes stage beats storing it — so it
+# is the bench default whenever remat is on (override via env).
+REMAT_STAGES = os.environ.get("VIDEOWALK_BENCH_REMAT_STAGES", "layer1")
 K1, K2 = 2, 12
 
 
@@ -60,7 +67,8 @@ def main():
 
     model = CRW(CRWConfig(model_type="scratch", temperature=0.05,
                           edgedrop_rate=0.1, dtype=jnp.bfloat16,
-                          remat=REMAT))
+                          remat=REMAT,
+                          remat_stages=REMAT_STAGES if REMAT else None))
     optimizer = make_optimizer(lr=3e-4)
 
     rng = np.random.RandomState(0)
@@ -119,7 +127,11 @@ def main():
 
     # MFU: ANALYTIC model FLOPs of one train step (conv fwd x3 for
     # fwd+dx+dw — the standard MFU convention: useful model FLOPs, excluding
-    # remat recompute) against the chip's dense peak. The reference publishes
+    # remat recompute) against the chip's dense peak. The numerator counts
+    # conv FLOPs only; everything excluded is quantified at ~0.11% of it
+    # (per step at any batch: 128-d head 0.0049 TF/32 clips, walk N=49
+    # affinity+chain 0.0013 TF, BN ~4 flops/elem ~0.054 TF vs 56.6 TF of
+    # conv at batch 32) — the understatement is negligible. The reference publishes
     # no throughput figure (BASELINE.md), so MFU is the absolute anchor the
     # clips/s progression is judged against (VERDICT r2 weak #1). XLA's
     # cost_analysis is reported alongside when available, but it cannot be

@@ -239,9 +239,10 @@ def train_args(argv=None):
                              "(memory for ~30% FLOPs; big-batch 256px runs)")
     parser.add_argument("--remat-stages", default=None, type=str,
                         help="with --remat: comma list of stages to remat "
-                             "(e.g. layer1,layer2,layer3 keeps layer4's "
-                             "activations stored — cuts recompute ~33%%->~9%% "
-                             "when the extra bytes fit); '' or 'all' = every "
+                             "(measured winner at the batch-32 flagship on "
+                             "v5e: 'layer1' — 543.5 ms vs full remat's "
+                             "636.6, and even vs remat-off's 552.2; see "
+                             "STATUS round-4 table); '' or 'all' = every "
                              "stage; flag absent = defer to the trace-time "
                              "env VIDEOWALK_REMAT_STAGES (default all)")
     parser.add_argument("--augs-backend", default="host", type=str,

@@ -199,16 +199,28 @@ def main(argv=None):
     print(f"# devices: {jax.devices()}", flush=True)
 
     timers = {}
+    failed = {}
     for name, env, remat in variants:
         apply_env(env)
-        timers[name], mem = build_step(
-            args.batch, args.clip_len, args.n_patches, args.patch, remat,
-            report_memory=args.report_memory)
-        if mem is not None:
-            print(json.dumps({"variant": name, "memory_analysis": mem}),
+        try:
+            timers[name], mem = build_step(
+                args.batch, args.clip_len, args.n_patches, args.patch, remat,
+                report_memory=args.report_memory)
+            if mem is not None:
+                print(json.dumps({"variant": name, "memory_analysis": mem}),
+                      flush=True)
+            timers[name](args.k1)   # compile both trip counts
+            timers[name](args.k2)
+        except Exception as e:
+            # a variant that cannot compile/run (e.g. remat-off OOM at
+            # batch 32) is itself a measurement — record it, keep the rest
+            timers.pop(name, None)
+            failed[name] = repr(e)[:500]
+            print(json.dumps({"variant": name, "failed": failed[name]}),
                   flush=True)
-        timers[name](args.k1)   # compile both trip counts
-        timers[name](args.k2)
+    variants = [v for v in variants if v[0] in timers]
+    if not variants:
+        raise SystemExit("every variant failed: " + json.dumps(failed))
 
     steps = {name: [] for name, _, _ in variants}
     for r in range(args.rounds):
@@ -222,6 +234,8 @@ def main(argv=None):
                               "step_ms": round(step_ms, 2)}), flush=True)
 
     print("\n== summary (full-step ms, lower is better) ==")
+    for name, err in failed.items():
+        print(json.dumps({"variant": name, "failed": err}))
     ranked = sorted(steps.items(), key=lambda kv: min(kv[1]))
     for name, ms in ranked:
         clips = args.batch / (min(ms) / 1e3)

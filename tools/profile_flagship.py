@@ -30,7 +30,7 @@ def capture(k: int, out_dir: str, batch: int, remat: bool) -> None:
     from tools.ab_flagship import build_step
     import jax
 
-    timed = build_step(batch, 8, 49, 64, remat)
+    timed, _ = build_step(batch, 8, 49, 64, remat)
     timed(k)            # compile + warm
     timed(k)
     with jax.profiler.trace(out_dir):

@@ -372,6 +372,18 @@ def _dw_call(x, gy, interpret):
 # rolls per block vs the flat algo's ~16 selects + ~25 rolls; matmul rows
 # grow by (H+2)/H (1.125x at 16x16, 1.25x at 8x8).
 #
+# MEASURED LOSER (v5e, 2026-08-19; full flagship step, same-process
+# interleaved A/B, 3 rounds, spread < 0.5 ms — /tmp gone, table in STATUS
+# round-4 item 2): base flat@L4 124.5 ms vs rowpad@L4 133.5, rowpad@L3+L4
+# 137.0, rowpad at every interior incl. 16x16 layer1 180.4. The select/roll
+# savings never show up: the extra (H+2)/H matmul rows cost MXU time where
+# the kernel already wins (L4, 1.25x rows on a ~91%-MFU op), and at low C
+# the bottleneck was never the VPU select chain — it is the MXU-starved
+# K=64 matmuls themselves, which rowpad makes 12.5-25% WORSE. Kept behind
+# VIDEOWALK_RCONV_ALGO=rowpad (parity-tested) for future hardware with a
+# different VPU/MXU balance; do NOT extend this design, the loss is
+# structural (padded rows multiply exactly the resource that binds).
+#
 # Wraparound safety (why no extra masks are needed): row rolls move exactly
 # one row (W rows of the flat buffer), and every image carries one pad row
 # at each end, so a wrapped read can only land in (or come from) a pad row.
@@ -572,7 +584,9 @@ def reflect_conv3x3_rowpad(x: jax.Array, w: jax.Array) -> jax.Array:
 
     Requires H >= 4 on top of rconv_supported (the _unpad_rows concat).
     Selected via VIDEOWALK_RCONV_ALGO=rowpad (trace time) in
-    ops/reflect_conv.py.
+    ops/reflect_conv.py. Measured LOSER at every gating on v5e — see the
+    module note above the v3 section; kept parity-tested for future
+    hardware only.
     """
     w9 = w.reshape(9, w.shape[2], w.shape[3])
     return _fwd_call_rp(x, w9, _should_interpret())

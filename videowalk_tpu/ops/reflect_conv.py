@@ -254,10 +254,16 @@ def reflect_conv2d(x: jax.Array, conv, kernel: int, stride: int,
         # time). 512 = the measured-winning layer4 interiors; 256 would add
         # the layer3 interiors (A/B'd full-step before any default change —
         # the layer4-conv1 widening trap in the module docstring).
+        # VIDEOWALK_RCONV_ALLOW16=1 additionally admits 16x16 interiors
+        # (layer1) to the auto gate — the shape the rowpad algo targets;
+        # keeps the interior-only and min_c constraints so an A/B can
+        # widen one axis at a time.
         min_c = int(os.environ.get("VIDEOWALK_RCONV_MIN_C", "512"))
+        allow16 = os.environ.get("VIDEOWALK_RCONV_ALLOW16", "") not in ("", "0")
+        shape_ok = (H == 8 and W == 8) or (allow16 and H == 16 and W == 16)
         if rconv_supported(H, W, kernel, stride, pad) and (
                 rmode == "on"
-                or (H == 8 and W == 8 and C >= min_c
+                or (shape_ok and C >= min_c
                     and C == conv.features  # interior convs only: the
                     # channel-changing first convs measured as full-step
                     # regressions even when winning in isolation

@@ -37,25 +37,71 @@ def capture(k: int, out_dir: str, batch: int, remat: bool) -> None:
         timed(k)
 
 
-def _plane_events(plane):
-    """Yield (name, duration_ns) over all lines of an xplane plane."""
-    for line in plane.lines:
-        for ev in line.events:
-            yield ev.name, ev.duration_ns
+# Container ops whose duration spans their whole body: counting them on top
+# of their leaf ops double-counts the step (a batch-32 trace summed to 8x
+# the wall time before this filter existed).
+_CONTAINER = re.compile(r"^%?(while|conditional|call|jit_|\d+$)")
 
 
-BUCKETS = [
-    # (label, regex on the HLO/op name)
-    ("conv fwd/dx (conv_general)", r"convolution|conv_general|%conv"),
-    ("conv dw (transpose conv)", r"conv.*transpose|transpose.*conv"),
-    ("rconv pallas kernel", r"rconv|reflect_conv|_fwd_kernel|_dx_kernel|_dw_kernel"),
-    ("walk pallas kernel", r"walk"),
-    ("matmul/dot", r"dot|matmul|gemm"),
-    ("batchnorm/reduce", r"batch_norm|reduce"),
-    ("pad/copy/transpose", r"pad|copy|transpose|reshape|concatenate|slice"),
-    ("fusion (elementwise)", r"fusion|loop_"),
-    ("all others", r".*"),
-]
+def _opcode(event_name: str):
+    """(instr_name, opcode) from a full HLO event string.
+
+    Event text is '%name.N = <type> opcode(operands...)'; bucketing must key
+    on the instruction's own name/opcode, NOT a regex over the whole string
+    (operand text like '%copy-done.3' used to drag conv fusions into the
+    copy bucket).
+    """
+    m = re.match(r"%?([\w.-]+)", event_name)
+    instr = m.group(1) if m else event_name
+    op = None
+    parts = event_name.split(" = ", 1)
+    if len(parts) == 2:
+        # the opcode is the identifier between the result type's closing
+        # brace/paren and its operand list's '('
+        m2 = re.search(r"[)}\]]\s+([a-z][\w-]*)\(", parts[1])
+        if m2:
+            op = m2.group(1)
+    return instr, op
+
+
+def _bucket(event_name: str, result_hw_padded: bool) -> str:
+    instr, op = _opcode(event_name)
+    if op == "custom-call":
+        if "walk" in instr:
+            return "pallas: fused walk"
+        return "pallas: rconv kernels (fwd/dx/dw)"
+    if op in ("convolution", "conv"):
+        return "XLA conv (fwd/dx/dw)"
+    if op == "fusion":
+        if instr.startswith("convert_reduce_fusion"):
+            return "BN stats/reduce fusions"
+        if instr.startswith("multiply_add_fusion"):
+            return "dW cast + optimizer fusions"
+        if result_hw_padded:
+            return "reflect-pad materializing fusions"
+        return "other fusions (epilogue/elementwise)"
+    if op in ("copy", "copy-start", "copy-done"):
+        return "sync copies"
+    if op == "select-and-scatter":
+        return "maxpool backward"
+    if op and ("reduce" in op):
+        return "BN stats/reduce fusions"
+    if op == "dot":
+        return "matmul/dot"
+    return "all others"
+
+
+_PAD_SHAPE = re.compile(r"= \S*\[\d+,(\d+),(\d+),\d+\]")
+
+
+def _result_hw_padded(event_name: str) -> bool:
+    """True when the result is an NHWC tensor with H==W not a multiple of 8
+    (the reflect-pad materializations produce (H+2)x(W+2) maps)."""
+    m = _PAD_SHAPE.search(event_name)
+    if not m:
+        return False
+    h, w = int(m.group(1)), int(m.group(2))
+    return h == w and h % 8 == 2
 
 
 def report(out_dir: str, k: int) -> None:
@@ -74,15 +120,33 @@ def report(out_dir: str, k: int) -> None:
         print("NO DEVICE PLANE — tunnel profiler reports host only")
         return
     for plane in dev_planes:
+        lines = {ln.name: ln for ln in plane.lines}
+        ops_line = lines.get("XLA Ops")
+        if ops_line is None:
+            continue
+        wall = sum(ev.duration_ns for ev in lines["XLA Modules"].events) \
+            if "XLA Modules" in lines else None
+        async_ns = sum(ev.duration_ns
+                       for ev in lines["Async XLA Ops"].events) \
+            if "Async XLA Ops" in lines else 0
+
         agg = collections.Counter()
         nbyname = collections.Counter()
         total = 0
-        for name, dur in _plane_events(plane):
-            agg[name] += dur
-            nbyname[name] += 1
-            total += dur
-        print(f"\n== plane: {plane.name} — {total/1e6:.1f} ms total, "
-              f"{total/1e6/k:.1f} ms/step over {k} steps ==")
+        for ev in ops_line.events:
+            short = ev.name.split(" = ")[0]
+            if _CONTAINER.match(short):
+                continue  # spans its body; leaves are counted below it
+            agg[ev.name] += ev.duration_ns
+            nbyname[ev.name] += 1
+            total += ev.duration_ns
+        hdr = f"{total/1e6/k:.1f} ms/step leaf-op device time over {k} steps"
+        if wall:
+            hdr += f" (module wall {wall/1e6/k:.1f} ms/step)"
+        print(f"\n== plane: {plane.name} — {hdr} ==")
+        if async_ns:
+            print(f"   async DMA outstanding (overlapped, NOT additive): "
+                  f"{async_ns/1e6/k:.1f} ms/step")
         print(f"{'ms/step':>9}  {'%':>5}  {'calls':>6}  op")
         shown = 0
         for name, dur in agg.most_common(40):
@@ -95,11 +159,8 @@ def report(out_dir: str, k: int) -> None:
         # bucket rollup
         rolled = collections.Counter()
         for name, dur in agg.items():
-            for label, pat in BUCKETS:
-                if re.search(pat, name, re.I):
-                    rolled[label] += dur
-                    break
-        print("\n-- rollup --")
+            rolled[_bucket(name, _result_hw_padded(name))] += dur
+        print("\n-- rollup (leaf ops) --")
         for label, dur in rolled.most_common():
             print(f"{dur/1e6/k:9.3f}  {100.0*dur/max(total,1):5.1f}  {label}")
 

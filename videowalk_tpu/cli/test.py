@@ -371,9 +371,11 @@ def test(loader, model, variables, args, n_videos=None, video_indices=None):
 def main(args):
     import jax as _jax
 
-    from videowalk_tpu.utils.platform import respect_jax_platforms_env
+    from videowalk_tpu.utils.platform import (
+        enable_persistent_compile_cache, respect_jax_platforms_env)
 
     respect_jax_platforms_env()
+    enable_persistent_compile_cache()
     # Multi-process cluster join must precede the first device query.
     # Eval parallelism across processes is by VIDEO (each is independent):
     # process r evaluates videos r, r+world, ... into the shared save_path.

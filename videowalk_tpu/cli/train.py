@@ -271,9 +271,11 @@ def train_one_epoch(args, models, steps, state, data_loader, epoch, mesh,
 
 
 def main(args):
-    from videowalk_tpu.utils.platform import respect_jax_platforms_env
+    from videowalk_tpu.utils.platform import (
+        enable_persistent_compile_cache, respect_jax_platforms_env)
 
     respect_jax_platforms_env()
+    enable_persistent_compile_cache()
     # Multi-process cluster join must precede the first device query
     # (parallel/multihost.py). After this, jax.devices() is the GLOBAL list.
     from videowalk_tpu.parallel.multihost import initialize_from_args

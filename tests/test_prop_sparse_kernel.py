@@ -130,3 +130,22 @@ def test_sparse_first_target_is_ground_truth():
         backend="sparse_interpret", n_context=n_context, n_long=1, topk=3,
         temperature=0.07, radius=6.0))
     np.testing.assert_allclose(got[0], labels0[0], rtol=1e-6, atol=1e-7)
+
+
+def test_loop_topk_matches_unrolled():
+    """topk_form='loop' (fori_loop top-k lowering) is bitwise equal to the
+    default unrolled form — same ops in the same order. Passed as the
+    static arg (the env knob is trace-time, like VIDEOWALK_SPARSE_TILE)."""
+    H, W = 16, 11
+    n_context, N_targets, C, n_lbl = 3, 5, 8, 4
+    feats, labels0 = _setup(5, n_context, N_targets, C, H, W, n_lbl)
+    key_indices = context_index_bank(n_context, [0], N_targets)
+    kw = dict(n_context=n_context, n_long=1, topk=6, temperature=0.07,
+              radius=4.0)
+    want = np.asarray(propagate_labels(
+        jnp.asarray(feats), jnp.asarray(labels0), jnp.asarray(key_indices),
+        backend="sparse_interpret", topk_form="unroll", **kw))
+    got = np.asarray(propagate_labels(
+        jnp.asarray(feats), jnp.asarray(labels0), jnp.asarray(key_indices),
+        backend="sparse_interpret", topk_form="loop", **kw))
+    np.testing.assert_array_equal(got, want)

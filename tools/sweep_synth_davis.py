@@ -1,0 +1,197 @@
+"""Real multi-combo eval sweep on synthetic DAVIS (the round-4 artifact).
+
+Mirrors the reference's sweep flow (``code/eval/run_test.py:56-78``: grid
+over checkpoints x K x R -> test.py -> convert -> metrics) end-to-end on
+actual hardware, without real DAVIS on disk: builds rolling low-frequency
+texture videos whose ground-truth masks ride the roll (the round-3
+rehearsal's discriminative setup — see STATUS round-3 item 10), trains one
+checkpoint briefly on matching rolling textures, and drives
+``videowalk_tpu.eval.run_test`` over 2 ckpts x 2 K x 2 R.
+
+    python tools/sweep_synth_davis.py --workdir /tmp/sweep_r04 \
+        [--train-steps 300] [--skip-train]
+
+Products (under --workdir): DAVIS/ tree, davis_vallist.txt, ckpt_random.pth,
+ckpt_trained.pth, sweep/sweep_summary.json (the per-combo results table;
+copy to SWEEP_r{N}.json at the repo root for the round artifact).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+HW = 320            # eval frame side -> 40x40 feature map at stride 8
+N_VIDEOS = 3
+N_FRAMES = 24
+DX = 4              # texture roll per frame (pixels)
+
+
+def lowfreq_texture(rng: np.random.RandomState, hw: int) -> np.ndarray:
+    """A low-frequency RGB texture (matchable at feature stride 8)."""
+    import cv2
+
+    base = rng.rand(hw // 8, hw // 8, 3).astype(np.float32)
+    up = cv2.resize(base, (hw, hw), interpolation=cv2.INTER_CUBIC)
+    up = cv2.GaussianBlur(up, (0, 0), sigmaX=3.0)
+    lo, hi = up.min(), up.max()
+    return ((up - lo) / (hi - lo + 1e-6) * 255).astype(np.uint8)
+
+
+def make_rolling_davis(root: str) -> str:
+    """DAVIS-2017 layout: textures + 2-object masks all rolling at DX."""
+    import cv2
+    from PIL import Image
+
+    from videowalk_tpu.eval.palette import voc_colormap
+
+    pal = voc_colormap().reshape(-1).tolist()
+    vids = [f"roll{v}" for v in range(N_VIDEOS)]
+    for vi, vid in enumerate(vids):
+        jdir = os.path.join(root, "JPEGImages", "480p", vid)
+        adir = os.path.join(root, "Annotations", "480p", vid)
+        os.makedirs(jdir, exist_ok=True)
+        os.makedirs(adir, exist_ok=True)
+        rng = np.random.RandomState(100 + vi)
+        tex = lowfreq_texture(rng, HW)
+        ann0 = np.zeros((HW, HW), np.uint8)
+        # two objects, fixed in TEXTURE coordinates (they ride the roll)
+        y0, x0 = HW // 5, HW // 6
+        ann0[y0:y0 + HW // 4, x0:x0 + HW // 4] = 1
+        y1, x1 = 3 * HW // 5, HW // 2
+        ann0[y1:y1 + HW // 5, x1:x1 + HW // 3] = 2
+        for t in range(N_FRAMES):
+            img = np.roll(tex, t * DX, axis=1)
+            ann = np.roll(ann0, t * DX, axis=1)
+            cv2.imwrite(os.path.join(jdir, f"{t:05d}.jpg"), img[:, :, ::-1],
+                        [cv2.IMWRITE_JPEG_QUALITY, 95])
+            im = Image.fromarray(ann, mode="P")
+            im.putpalette(pal)
+            im.save(os.path.join(adir, f"{t:05d}.png"))
+    os.makedirs(os.path.join(root, "ImageSets", "2017"), exist_ok=True)
+    with open(os.path.join(root, "ImageSets", "2017", "val.txt"), "w") as f:
+        f.write("\n".join(vids) + "\n")
+    return root
+
+
+def make_rolling_kinetics(root: str, vids: int = 6, hw: int = 256,
+                          frames: int = 80) -> str:
+    """<root>/train_256/<cls>/*.mp4 rolling textures for brief training."""
+    import cv2
+
+    d = os.path.join(root, "train_256", "roll")
+    os.makedirs(d, exist_ok=True)
+    for vi in range(vids):
+        rng = np.random.RandomState(vi)
+        tex = lowfreq_texture(rng, hw)
+        w = cv2.VideoWriter(os.path.join(d, f"v{vi}.mp4"),
+                            cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (hw, hw))
+        for t in range(frames):
+            w.write(np.roll(tex, t * 3, axis=1)[:, :, ::-1])
+        w.release()
+    return os.path.join(root, "train_256")
+
+
+def make_random_ckpt(path: str) -> str:
+    import jax
+    import jax.numpy as jnp
+
+    from videowalk_tpu.models import CRW, CRWConfig
+    from videowalk_tpu.utils import save_checkpoint
+
+    model = CRW(CRWConfig(model_type="scratch", head_depth=0))
+    x = jnp.zeros((1, 2, 4, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    save_checkpoint(path, {"params": variables["params"],
+                           "batch_stats": variables["batch_stats"]},
+                    lr_scheduler_state={"step": 0}, epoch=0, args={})
+    return path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/sweep_synth_davis")
+    ap.add_argument("--train-steps", type=int, default=300)
+    ap.add_argument("--skip-train", action="store_true",
+                    help="second checkpoint = a different random seed")
+    ap.add_argument("--K", nargs="+", type=int, default=[5, 10])
+    ap.add_argument("--R", nargs="+", type=float, default=[5.0, 12.0])
+    ap.add_argument("--videoLen", type=int, default=5)
+    args = ap.parse_args()
+
+    wd = args.workdir
+    os.makedirs(wd, exist_ok=True)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    davis = os.path.join(wd, "DAVIS")
+    if not os.path.exists(os.path.join(davis, "ImageSets")):
+        make_rolling_davis(davis)
+    vallist = os.path.join(wd, "davis_vallist.txt")
+    subprocess.run([sys.executable, "-m",
+                    "videowalk_tpu.eval.make_davis_vallist",
+                    "--davis", davis, "--out", vallist],
+                   check=True, env=env, cwd=REPO)
+
+    ck_rand = os.path.join(wd, "ckpt_random.pth")
+    if not os.path.exists(ck_rand):
+        make_random_ckpt(ck_rand)
+
+    ck2 = os.path.join(wd, "ckpt_trained.pth")
+    if not os.path.exists(ck2):
+        if args.skip_train:
+            import jax  # noqa: F401  (second seed via the same helper)
+
+            make_random_ckpt(ck2)  # seed differences are in the tree only
+        else:
+            data = os.path.join(wd, "kinetics")
+            if not os.path.exists(data):
+                make_rolling_kinetics(data)
+            out = os.path.join(wd, "train_out")
+            r = subprocess.run(
+                [sys.executable, "-m", "videowalk_tpu.cli.train",
+                 "--data-path", os.path.join(data, "train_256"),
+                 "--cache-dataset",
+                 "--cache-path", os.path.join(wd, "cache.pt"),
+                 "--output-dir", out,
+                 "--img-size", "256", "--clip-len", "4",
+                 "--batch-size", "8", "--frame-skip", "4",
+                 "--epochs", "1", "--steps-per-epoch",
+                 str(args.train_steps),
+                 "--augs-backend", "device", "--workers", "2",
+                 "--lr", "1e-4", "--print-freq", "25",
+                 "--sp-method", "none", "--patch-size", "64", "64", "3"],
+                env=env, cwd=REPO)
+            if r.returncode != 0:
+                sys.exit(f"training failed rc={r.returncode}")
+            shutil.copy(os.path.join(out, "checkpoint.pth"), ck2)
+
+    sweep_out = os.path.join(wd, "sweep")
+    cmd = [sys.executable, "-m", "videowalk_tpu.eval.run_test",
+           "--checkpoints", ck_rand, ck2,
+           "--filelist", vallist, "--davis", davis,
+           "--out-dir", sweep_out,
+           "--L", str(args.videoLen),
+           "--K"] + [str(k) for k in args.K] + [
+           "--R"] + [str(r) for r in args.R] + [
+           "--cropSize", "-1", "--workers", "2"]
+    print("+", " ".join(cmd), flush=True)
+    rc = subprocess.run(cmd, env=env, cwd=REPO).returncode
+    summary = os.path.join(sweep_out, "sweep_summary.json")
+    if os.path.exists(summary):
+        with open(summary) as f:
+            print(json.dumps(json.load(f), indent=1))
+    sys.exit(rc)
+
+
+if __name__ == "__main__":
+    main()

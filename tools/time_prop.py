@@ -35,12 +35,30 @@ GEOMS = {
 }
 
 
-def build(geom, backend, radius, topk, n1, n2):
+def parse_variant(spec):
+    """'sparse' or 'sparse:tile=16,topk_form=loop' -> (backend, kwargs)."""
+    backend, _, opts = spec.partition(":")
+    kwargs = {}
+    if opts:
+        for kv in opts.split(","):
+            k, _, v = kv.partition("=")
+            if k == "tile":
+                kwargs["tile"] = int(v)
+            elif k == "topk_form":
+                kwargs["topk_form"] = v
+            else:
+                raise SystemExit(f"unknown variant option {k!r} in {spec!r}")
+    return backend, kwargs
+
+
+def build(geom, spec, radius, topk, n1, n2):
     import jax
     import jax.numpy as jnp
 
     from videowalk_tpu.eval.propagation import (context_index_bank,
                                                 propagate_labels)
+
+    backend, vkw = parse_variant(spec)
 
     H, W, C, n_lbl, n_context = (geom[k] for k in
                                  ("H", "W", "C", "n_lbl", "n_context"))
@@ -61,7 +79,7 @@ def build(geom, backend, radius, topk, n1, n2):
 
     run = jax.jit(partial(
         propagate_labels, n_context=n_context, n_long=1, topk=topk,
-        temperature=0.05, radius=radius, backend=backend))
+        temperature=0.05, radius=radius, backend=backend, **vkw))
 
     def timed(n):
         t0 = time.perf_counter()
@@ -77,7 +95,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--geometry", choices=list(GEOMS), default="davis")
     ap.add_argument("--backend", action="append", required=True,
-                    help="sparse | tiled | windowed | xla (repeatable)")
+                    help="sparse | tiled | windowed | xla (repeatable); "
+                         "sparse variants take options, e.g. "
+                         "'sparse:tile=16,topk_form=loop' — all variants "
+                         "run interleaved in THIS process")
     ap.add_argument("--radius", type=float, default=12.0)
     ap.add_argument("--topk", type=int, default=10)
     ap.add_argument("--n1", type=int, default=8)
@@ -89,6 +110,15 @@ def main():
 
     respect_jax_platforms_env()
     import jax
+
+    # Persistent compile cache: a tile-16 Mosaic compile can cost many
+    # minutes through the tunnel — never lose a successful one.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/videowalk_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:  # pragma: no cover
+        print(f"# compile cache unavailable: {e}", flush=True)
 
     print(f"# devices: {jax.devices()}  geometry={args.geometry} "
           f"radius={args.radius}", flush=True)

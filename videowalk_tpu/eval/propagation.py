@@ -355,7 +355,8 @@ BACKENDS = ("xla", "tiled", "windowed", "sparse", "sparse_interpret")
 
 @partial(jax.jit, static_argnames=("n_context", "n_long", "topk",
                                    "temperature", "radius", "blocked",
-                                   "backend", "tile", "mesh", "data_axis"))
+                                   "backend", "tile", "topk_form", "mesh",
+                                   "data_axis"))
 def propagate_labels(
     feats: jax.Array,
     labels0: jax.Array,
@@ -369,6 +370,7 @@ def propagate_labels(
     blocked: bool = True,
     backend: str = "xla",
     tile: int | None = None,
+    topk_form: str | None = None,
     mesh=None,
     data_axis: str = "data",
 ) -> jax.Array:
@@ -388,6 +390,9 @@ def propagate_labels(
         and ``tile`` is part of the cache key, so callers sweeping tiles in
         one process must pass it explicitly (``propagate_labels_bucketed``
         does).
+      topk_form: sparse-backend top-k lowering, 'unroll' | 'loop'; None
+        resolves ``VIDEOWALK_SPARSE_TOPK`` at trace time (same jit-cache
+        caveat as ``tile``).
       mesh: optional ``jax.sharding.Mesh`` — sparse-family backends shard
         each step's query grid over ``mesh.shape[data_axis]`` devices (see
         ``_propagate_labels_sparse``); other backends reject it.
@@ -409,7 +414,7 @@ def propagate_labels(
             feats, labels0, key_indices, n_context=n_context,
             n_long=n_long, topk=topk, temperature=temperature,
             radius=radius, interpret=backend == "sparse_interpret",
-            tile=tile, mesh=mesh, data_axis=data_axis)
+            tile=tile, topk_form=topk_form, mesh=mesh, data_axis=data_axis)
     if mesh is not None and mesh.shape[data_axis] > 1:
         raise ValueError(
             f"multi-device propagation is only implemented for the sparse "
@@ -457,7 +462,8 @@ def propagate_labels(
 
 def _propagate_labels_sparse(feats, labels0, key_indices, *, n_context,
                              n_long, topk, temperature, radius, interpret,
-                             tile=None, mesh=None, data_axis="data"):
+                             tile=None, topk_form=None, mesh=None,
+                             data_axis="data"):
     """``propagate_labels`` via the block-sparse Pallas kernel
     (ops/prop_sparse_kernel.py): keys and the label buffer live in a
     zero-padded (N, H+2r, W+2r, .) halo layout so the kernel's per-tile
@@ -543,7 +549,7 @@ def _propagate_labels_sparse(feats, labels0, key_indices, *, n_context,
                 query, feats_pad, lbl_pad, klong, llong, idx_row,
                 n_long=n_long, topk=topk, temperature=temperature,
                 radius=radius, H=H, W=W, interpret=interpret,
-                tile=tile)                                  # (HW, NLP)
+                tile=tile, topk_form=topk_form)             # (HW, NLP)
         else:
             # (D*Hb, Wp, C) band-aligned query grid (zeros past row Hp)
             qg = fr[r:r + D * Hb, r:r + Wp]
@@ -559,7 +565,8 @@ def _propagate_labels_sparse(feats, labels0, key_indices, *, n_context,
                     off.reshape(1), H=H, W=W, lHh=Hh, lWh=Wh,
                     n_long=n_long, topk=topk, temperature=temperature,
                     radius=radius, interpret=interpret,
-                    precision="highest", tq=tile)           # (Hb, Wp, NLP)
+                    precision="highest", tq=tile,
+                    topk_form=topk_form)                    # (Hb, Wp, NLP)
 
             grid = jax.shard_map(
                 body, mesh=mesh,
@@ -652,17 +659,20 @@ def propagate_labels_bucketed(
             [jnp.asarray(labels0),
              jnp.zeros((*labels0.shape[:-1], pl), labels0.dtype)], axis=-1)
 
-    # Resolve the sparse tile EAGERLY so it is part of propagate_labels'
-    # jit cache key (resolved inside the trace, an env change after the
-    # first trace would be silently ignored).
-    tile = None
+    # Resolve the sparse tile and top-k form EAGERLY so they are part of
+    # propagate_labels' jit cache key (resolved inside the trace, an env
+    # change after the first trace would be silently ignored).
+    tile = topk_form = None
     if backend in ("sparse", "sparse_interpret"):
-        from videowalk_tpu.ops.prop_sparse_kernel import sparse_tile
+        from videowalk_tpu.ops.prop_sparse_kernel import (sparse_tile,
+                                                          sparse_topk_form)
 
         tile = sparse_tile()
+        topk_form = sparse_topk_form()
     preds = propagate_labels(
         jnp.asarray(feats), jnp.asarray(labels0), jnp.asarray(key_indices),
         n_context=n_context, n_long=n_long, topk=topk,
         temperature=temperature, radius=radius, blocked=blocked,
-        backend=backend, tile=tile, mesh=mesh, data_axis=data_axis)
+        backend=backend, tile=tile, topk_form=topk_form, mesh=mesh,
+        data_axis=data_axis)
     return np.asarray(preds)[:n_targets, ..., :n_lbl]

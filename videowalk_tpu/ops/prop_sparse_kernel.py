@@ -28,6 +28,19 @@ Semantics match the tiled/blocked backends (torch.topk + softmax + weighted
 label sum) whenever each query has >= topk in-radius candidates — always at
 real eval shapes; ties resolve to the first (lowest flat index) candidate.
 
+Tile-16 verdict (v5e, 2026-08-19, tools/time_prop.py at DAVIS 480p r=12,
+same-process interleaved, 3 rounds): tile 8 unroll **18.0 ms/target** (the
+default) vs tile 8 loop 20.6 vs tile 16 loop 21.0. The fori_loop top-k
+lowering (``VIDEOWALK_SPARSE_TOPK=loop``) was built because tile 16's
+unrolled Mosaic module (10 straight-line passes over a (256, CW~44k) f32
+row) blew up the remote compile service (>18 min); the loop form compiles
+in normal time but costs ~14% at tile 8, and tile 16 — 4x MXU row fill,
+2.56x less halo amplification — still LOSES: the kernel is bound by the
+CW-wide VPU top-k sweeps and halo DMA, not MXU occupancy, and CW per tile
+GROWS with tile size ((16+2r)^2 windows), so the sweeps get wider faster
+than the matmuls get fuller. Tile 8 + unroll stays the default; both knobs
+stay parity-tested for future hardware.
+
 Pinned by tests/test_prop_sparse_kernel.py against the XLA blocked backend,
 in interpret mode on CPU and compiled on TPU.
 """
@@ -70,7 +83,7 @@ def _kernel(idx_ref,            # SMEM (L,) int32 context frame indices
             lwin_ref,           # scratch f32 (2, WIN, WIN, nl)
             ksem, lsem,         # DMA semaphores (2,)
             *, H, W, lHh, lWh, r, n_long, n_short, topk, temperature, radius,
-            ntw, precision, tq):
+            ntw, precision, tq, loop_topk):
     C = q_ref.shape[-1]
     nl = o_ref.shape[-1]
     TQ2 = tq * tq
@@ -178,27 +191,75 @@ def _kernel(idx_ref,            # SMEM (L,) int32 context frame indices
     # to coexist, which halves the kernel's CW-wide VMEM footprint (this is
     # what lets tile=16's 45 MB candidate row fit).
     col = jax.lax.broadcasted_iota(jnp.int32, (TQ2, CW), 1)
-    vmax = None
-    z = jnp.zeros((TQ2, 1), jnp.float32)
-    picks = []
-    for j in range(topk):
-        c = cand_ref[...]
-        m = jnp.max(c, axis=1, keepdims=True)             # (TQ2, 1)
-        hit = c >= m                                      # >=: exact max hit
-        first = jnp.min(jnp.where(hit, col, CW), axis=1,
-                        keepdims=True)                    # first occurrence
-        if j == 0:
-            vmax = m
-        e = jnp.exp(m - vmax)                             # (TQ2, 1)
-        picks.append((first, e))
-        z += e
-        cand_ref[...] = jnp.where(col == first, _NEG, c)
-    for j, (first, e) in enumerate(picks):
-        term = jnp.where(col == first, e, 0.0)
-        if j == 0:
-            cand_ref[...] = term
-        else:
-            cand_ref[...] += term
+    if loop_topk:
+        # fori_loop form: the unrolled form below lowers 2*topk full-width
+        # (TQ2, CW) vector passes into the Mosaic module, which at tile 16
+        # / DAVIS shapes (a 256 x 44032 f32 row, 10 passes) blows the
+        # compile up (>18 min, melted the remote compile service —
+        # STATUS round-4 roadmap). The loop form compiles one body per
+        # loop; op-for-op identical arithmetic in identical order, so the
+        # results are bitwise equal (pinned by tests/test_prop_sparse_kernel
+        # ::test_loop_topk_matches_unrolled). Mosaic cannot lower
+        # dynamic_update_slice/dynamic_slice inside a kernel fori_loop, so
+        # the per-pass (first, e) columns are written/read via one-hot
+        # masked selects over the tiny (TQ2, topk) carries — exact (adding
+        # zeros / selecting one nonzero column is lossless in fp).
+        colk = jax.lax.broadcasted_iota(jnp.int32, (TQ2, topk), 1)
+        vmax = jnp.max(cand_ref[...], axis=1, keepdims=True)  # pass-0 max
+
+        def select(j, carry):
+            firsts, es, z = carry
+            c = cand_ref[...]
+            m = jnp.max(c, axis=1, keepdims=True)         # (TQ2, 1)
+            hit = c >= m                                  # >=: exact max hit
+            first = jnp.min(jnp.where(hit, col, CW), axis=1,
+                            keepdims=True)                # first occurrence
+            e = jnp.exp(m - vmax)                         # (TQ2, 1)
+            cand_ref[...] = jnp.where(col == first, _NEG, c)
+            sel = colk == j
+            firsts = jnp.where(sel, first, firsts)
+            es = jnp.where(sel, e, es)
+            return firsts, es, z + e
+
+        firsts, es, z = jax.lax.fori_loop(
+            0, topk, select,
+            (jnp.zeros((TQ2, topk), jnp.int32),
+             jnp.zeros((TQ2, topk), jnp.float32),
+             jnp.zeros((TQ2, 1), jnp.float32)))
+
+        cand_ref[...] = jnp.zeros((TQ2, CW), jnp.float32)
+
+        def rebuild(j, _):
+            sel = colk == j
+            first = jnp.sum(jnp.where(sel, firsts, 0), axis=1,
+                            keepdims=True)
+            e = jnp.sum(jnp.where(sel, es, 0.0), axis=1, keepdims=True)
+            cand_ref[...] += jnp.where(col == first, e, 0.0)
+            return 0
+
+        jax.lax.fori_loop(0, topk, rebuild, 0)
+    else:
+        vmax = None
+        z = jnp.zeros((TQ2, 1), jnp.float32)
+        picks = []
+        for j in range(topk):
+            c = cand_ref[...]
+            m = jnp.max(c, axis=1, keepdims=True)         # (TQ2, 1)
+            hit = c >= m                                  # >=: exact max hit
+            first = jnp.min(jnp.where(hit, col, CW), axis=1,
+                            keepdims=True)                # first occurrence
+            if j == 0:
+                vmax = m
+            e = jnp.exp(m - vmax)                         # (TQ2, 1)
+            picks.append((first, e))
+            z += e
+            cand_ref[...] = jnp.where(col == first, _NEG, c)
+        for j, (first, e) in enumerate(picks):
+            term = jnp.where(col == first, e, 0.0)
+            if j == 0:
+                cand_ref[...] = term
+            else:
+                cand_ref[...] += term
 
     pred = jax.lax.dot_general(
         cand_ref[...], lab_ref[...], (((1,), (0,)), ((), ())),
@@ -209,7 +270,7 @@ def _kernel(idx_ref,            # SMEM (L,) int32 context frame indices
 
 def sparse_band_propagate(qg, feats_band, lbl_band, klong, llong, idx_row, row_off,
                  *, H, W, lHh, lWh, n_long, topk, temperature, radius,
-                 interpret, precision, tq):
+                 interpret, precision, tq, topk_form=None):
     """The pallas_call, band-capable. ``qg`` is a tile-aligned (Hq, Wp, C)
     query grid; ``feats_band``/``lbl_band`` hold rows
     [row_off, row_off + Hq + 2r) of the global padded layout (the full
@@ -234,7 +295,8 @@ def sparse_band_propagate(qg, feats_band, lbl_band, klong, llong, idx_row, row_o
     kernel = functools.partial(
         _kernel, H=H, W=W, lHh=lHh, lWh=lWh, r=r, n_long=n_long,
         n_short=n_short, topk=topk, temperature=float(temperature),
-        radius=float(radius), ntw=ntw, precision=prec, tq=tq)
+        radius=float(radius), ntw=ntw, precision=prec, tq=tq,
+        loop_topk=_resolve_topk_form(topk_form) == "loop")
 
     out = pl.pallas_call(
         kernel,
@@ -279,10 +341,11 @@ def sparse_band_propagate(qg, feats_band, lbl_band, klong, llong, idx_row, row_o
 @functools.partial(
     jax.jit,
     static_argnames=("n_long", "topk", "temperature", "radius", "H", "W",
-                     "interpret", "precision", "tile"))
+                     "interpret", "precision", "tile", "topk_form"))
 def sparse_topk_propagate(query, feats_pad, lbl_pad, klong, llong, idx_row,
                           *, n_long, topk, temperature, radius, H, W,
-                          interpret=False, precision="highest", tile=TQ):
+                          interpret=False, precision="highest", tile=TQ,
+                          topk_form=None):
     """One target frame's label predictions, fused in VMEM.
 
     Args:
@@ -327,8 +390,34 @@ def sparse_topk_propagate(query, feats_pad, lbl_pad, klong, llong, idx_row,
         jnp.zeros((1,), jnp.int32),
         H=H, W=W, lHh=Hh, lWh=Wh, n_long=n_long, topk=topk,
         temperature=temperature, radius=radius, interpret=interpret,
-        precision=precision, tq=tq)                       # (Hp, Wp, nl)
+        precision=precision, tq=tq, topk_form=topk_form)  # (Hp, Wp, nl)
     return grid[:H, :W].reshape(HW, nl)
+
+
+def sparse_topk_form() -> str:
+    """Trace-time top-k lowering form, ``VIDEOWALK_SPARSE_TOPK``.
+
+    ``unroll`` (default) emits the k passes as straight-line vector code;
+    ``loop`` emits two ``fori_loop``s (bitwise-identical results — see
+    _kernel). The loop form exists because the unrolled Mosaic module's
+    compile time scales with k * CW and melts the compile service at
+    tile 16 / DAVIS shapes; measure both on your hardware before flipping.
+    Like ``sparse_tile``, callers inside jit must resolve this eagerly and
+    pass it as a static arg (``propagate_labels(topk_form=...)``).
+    """
+    import os
+
+    return _resolve_topk_form(os.environ.get("VIDEOWALK_SPARSE_TOPK",
+                                             "unroll"))
+
+
+def _resolve_topk_form(form: str | None) -> str:
+    form = form or sparse_topk_form()
+    if form not in ("unroll", "loop"):
+        raise ValueError(
+            f"sparse top-k form {form!r} must be 'unroll' or 'loop' "
+            f"(VIDEOWALK_SPARSE_TOPK / topk_form)")
+    return form
 
 
 def sparse_tile() -> int:

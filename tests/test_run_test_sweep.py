@@ -40,7 +40,9 @@ def test_run_one_sbatch_emits_script(tmp_path, monkeypatch):
 
     monkeypatch.setattr(subprocess, "run",
                         lambda *a, **k: calls.append(a) or
-                        types.SimpleNamespace(returncode=0))
+                        types.SimpleNamespace(returncode=0,
+                                              stdout="Submitted batch job 1",
+                                              stderr=""))
     ckpt = tmp_path / "model_5.pth"
     ckpt.write_bytes(b"x")
     args = types.SimpleNamespace(

@@ -99,6 +99,25 @@ class PadConv(nn.Module):
         return self._plain_conv(xc, wc, pads)
 
     def _plain_conv(self, xc, wc, pads):
+        if (self.kernel == 3 and self.stride == 1
+                and xc.shape[-1] == 64 and self.features == 64
+                and xc.shape[0] % 2 == 0
+                and jax.default_backend() == "tpu"
+                and os.environ.get("VIDEOWALK_L1PACK", "") not in ("", "0")):
+            # VIDEOWALK_L1PACK (trace-time experiment): layer1's 64->64
+            # convs run the MXU at ~26% MFU (measured 3.4 ms/conv at the
+            # flagship batch vs a 0.9 ms analytic floor) because BOTH the
+            # contraction (K*K*Cin tap width 64) and the output channels
+            # (N=64) half-fill the 128-lane MXU. Packing image PAIRS along
+            # channels with a block-diagonal kernel makes K=N=128 (full
+            # fill) at 2x nominal FLOPs; the zero off-blocks contribute
+            # exact 0.0 products, so the result is the plain conv up to
+            # reduction-tree reassociation. The comparable measured shape
+            # (8x8x128 interior, K=N=128, same per-image FLOPs) runs 1.15
+            # ms — the hypothesis is ~2.3 vs 3.4 ms per conv. dW flows back
+            # through the concat VJPs (the zeros blocks' cotangents drop),
+            # so only the true 64x64 kernel is ever a parameter.
+            return pair_packed_conv(xc, wc, pads)
         if self.kernel > 1 and jax.default_backend() == "cpu":
             # XLA:CPU executes small-spatial / high-channel convs through a
             # pathological path — measured 1.6 s for ONE (196,2,2,256)->512
@@ -121,6 +140,29 @@ class PadConv(nn.Module):
         return jax.lax.conv_general_dilated(
             xc, wc, window_strides=(self.stride, self.stride),
             padding=pads, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def pair_packed_conv(xc: jax.Array, wc: jax.Array, pads) -> jax.Array:
+    """Image-pair channel packing: conv NHWC x (K,K,C,C) at 2C MXU width.
+
+    Halves the batch, doubles Cin/Cout with a block-diagonal kernel, then
+    unpacks — the zero off-blocks contribute exact 0.0 products, so this is
+    the plain conv up to reduction-tree reassociation. Grad flows only to
+    the true (K,K,C,C) kernel (the zero blocks come from ``zeros_like``, a
+    constant whose cotangent is discarded). See the gate in
+    ``PadConv._plain_conv`` for the measured motivation.
+    """
+    half = xc.shape[0] // 2
+    c = xc.shape[-1]
+    xp = jnp.concatenate([xc[:half], xc[half:]], axis=-1)
+    z = jnp.zeros_like(wc)
+    wp = jnp.concatenate(
+        [jnp.concatenate([wc, z], axis=3),
+         jnp.concatenate([z, wc], axis=3)], axis=2)
+    yp = jax.lax.conv_general_dilated(
+        xp, wp, window_strides=(1, 1), padding=pads,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return jnp.concatenate([yp[..., :c], yp[..., c:]], axis=0)
 
 
 def _ring_dots_delta(x: jax.Array, w: jax.Array, y: jax.Array) -> jax.Array:

@@ -57,7 +57,7 @@ def main():
 
     def make_runner(conv):
         def loss(x, w, s):
-            y = conv(x * s, w)          # s threads iteration dependence
+            y = conv(x * s.astype(x.dtype), w)  # s threads iteration dependence
             return jnp.sum(y.astype(jnp.float32) ** 2)
 
         @partial(jax.jit, static_argnums=(2,))

@@ -104,19 +104,21 @@ class PadConv(nn.Module):
                 and xc.shape[0] % 2 == 0
                 and jax.default_backend() == "tpu"
                 and os.environ.get("VIDEOWALK_L1PACK", "") not in ("", "0")):
-            # VIDEOWALK_L1PACK (trace-time experiment): layer1's 64->64
-            # convs run the MXU at ~26% MFU (measured 3.4 ms/conv at the
-            # flagship batch vs a 0.9 ms analytic floor) because BOTH the
-            # contraction (K*K*Cin tap width 64) and the output channels
-            # (N=64) half-fill the 128-lane MXU. Packing image PAIRS along
-            # channels with a block-diagonal kernel makes K=N=128 (full
-            # fill) at 2x nominal FLOPs; the zero off-blocks contribute
-            # exact 0.0 products, so the result is the plain conv up to
-            # reduction-tree reassociation. The comparable measured shape
-            # (8x8x128 interior, K=N=128, same per-image FLOPs) runs 1.15
-            # ms — the hypothesis is ~2.3 vs 3.4 ms per conv. dW flows back
-            # through the concat VJPs (the zeros blocks' cotangents drop),
-            # so only the true 64x64 kernel is ever a parameter.
+            # VIDEOWALK_L1PACK (trace-time experiment): MEASURED LOSER on
+            # v5e (2026-08-19) — do not adopt. Hypothesis was that layer1's
+            # 64->64 convs half-fill the 128-lane MXU (K=N=64) and packing
+            # image PAIRS along channels with a block-diagonal kernel
+            # (K=N=128 at 2x nominal FLOPs) would recover fill. Both halves
+            # measured false: (a) isolated, the PLAIN 18x18x64 VALID
+            # fwd+bwd conv runs 0.83 ms at B=3136 — already at its ~0.9 ms
+            # analytic floor, so there is no MXU starvation to fix (the
+            # in-context "3.4 ms/conv" cost is the reflect-pad
+            # materialization fusions around the conv, not the matmul);
+            # (b) the packed path costs 5.42 ms isolated (concat/unpack
+            # copies + block-diagonal dW traffic) and 133.1 vs 124.9 ms on
+            # the full flagship step (tools/microbench_l1pack.py,
+            # tools/ab_flagship.py, 3 interleaved rounds). Kept env-gated
+            # and parity-tested as the measurement record.
             return pair_packed_conv(xc, wc, pads)
         if self.kernel > 1 and jax.default_backend() == "cpu":
             # XLA:CPU executes small-spatial / high-channel convs through a

@@ -410,3 +410,39 @@ def test_dump_predictions_outputs_unchanged_by_heatmap_flag(tmp_path):
     pa = np.asarray(_Im.open(tmp_path / "a_mask.png"))
     pb = np.asarray(_Im.open(tmp_path / "b_mask.png"))
     assert np.array_equal(pa, pb) and np.array_equal(pa, m1.astype(np.uint8))
+
+
+def test_encode_dtype_bf16_eval(filelist, tmp_path):
+    """--encode-dtype bfloat16 runs the trunk in bf16 but hands f32 features
+    to propagation: features must be f32 and near the f32 trunk's (the TPU
+    opt-in; default stays float32 = reference parity)."""
+    import jax.numpy as jnp
+
+    from videowalk_tpu.cli.test import build_model, encode_video
+    from videowalk_tpu.cli.test import main as test_main
+
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(4, 64, 64, 3).astype(np.float32)
+
+    feats = {}
+    for enc in ("float32", "bfloat16"):
+        args = make_args(filelist, str(tmp_path / enc))
+        args.encode_dtype = enc
+        model, _ = build_model(args)
+        import jax
+        v = model.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 2, 2, 64, 64, 3)), train=False)
+        v = {k: v[k] for k in ("params", "batch_stats")}
+        feats[enc] = np.asarray(encode_video(model, v, imgs))
+    assert feats["bfloat16"].dtype == np.float32
+    a = feats["float32"].reshape(4, -1)
+    b = feats["bfloat16"].reshape(4, -1)
+    cos = (a * b).sum(1) / (np.linalg.norm(a, axis=1)
+                            * np.linalg.norm(b, axis=1) + 1e-12)
+    assert cos.min() > 0.99, cos
+
+    # the full driver runs end-to-end in bf16 and dumps the artifact set
+    args = make_args(filelist, str(tmp_path / "drive"))
+    args.encode_dtype = "bfloat16"
+    test_main(args)
+    assert os.path.exists(str(tmp_path / "drive" / "0_0_mask.png"))

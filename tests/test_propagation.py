@@ -218,3 +218,23 @@ def test_tiled_affinity_matches_blocked_selection():
     np.testing.assert_allclose(np.sort(np.asarray(w_b), 0),
                                np.sort(np.asarray(w_t), 0),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_auto_topk_form_gates_single_tile_melt_shapes():
+    """The sparse backend auto-picks the fori_loop top-k ONLY at degenerate
+    single-tile grids with wide unrolled pass work (the measured Mosaic
+    compile melt: 8x8 grid, K=10, R=12); real-size grids and narrow shapes
+    keep the unroll default (None), and an explicit choice always wins."""
+    from videowalk_tpu.eval.propagation import _auto_topk_form
+    from videowalk_tpu.ops.prop_sparse_kernel import sparse_halo
+
+    r12, r6 = sparse_halo(12.0, 8), sparse_halo(6.0, 8)
+    # the melt shape: 8x8 grid (single tile), K10 R12
+    assert _auto_topk_form(8, 8, 8, r12, 3, 1, 10) == "loop"
+    # K5 / R6 variants measured fine -> stay on the default
+    assert _auto_topk_form(8, 8, 8, r12, 3, 1, 5) is None
+    assert _auto_topk_form(8, 8, 8, r6, 3, 1, 10) is None
+    # same K/R at a 2x2-tile grid measured fine -> default
+    assert _auto_topk_form(16, 16, 8, r12, 3, 1, 10) is None
+    # real DAVIS-480p geometry is far from single-tile -> default
+    assert _auto_topk_form(60, 107, 8, r12, 21, 1, 10) is None

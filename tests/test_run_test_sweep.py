@@ -105,3 +105,47 @@ def test_sweep_full_happy_path_subprocess(tmp_path):
     for n in names:
         assert os.path.exists(os.path.join(out_dir, n, "converted",
                                            "video0", "00000.png"))
+
+
+def test_sweep_in_process_mode(tmp_path):
+    """--in-process runs every combo's test/convert/metrics as function
+    calls in one interpreter (jits compile once per distinct shape across
+    checkpoints) and yields the same artifact set + summary as the
+    subprocess path; a failing combo is caught, recorded rc!=0, and the
+    sweep exits non-zero."""
+    import json
+    import types
+
+    from _synth import make_crw_checkpoint, make_davis_tree
+    from videowalk_tpu.eval.make_davis_vallist import make_list
+    from videowalk_tpu.eval.run_test import main as sweep_main
+
+    davis = make_davis_tree(str(tmp_path / "DAVIS"), vids=("video0",))
+    fl = tmp_path / "davis_vallist.txt"
+    fl.write_text("\n".join(make_list(davis)) + "\n")
+    ck = make_crw_checkpoint(str(tmp_path / "model_0.pth"),
+                             "scratch_zeropad", seed=0)
+
+    out_dir = str(tmp_path / "sweep")
+    sweep_main(["--checkpoints", ck, "--filelist", str(fl), "--davis", davis,
+                "--model-type", "scratch_zeropad", "--out-dir", out_dir,
+                "--L", "3", "--K", "3", "5", "--R", "6", "--in-process",
+                "--workers", "0"])
+    results = json.load(open(os.path.join(out_dir, "sweep_summary.json")))
+    assert [r["rc"] for r in results] == [0, 0]
+    assert all(0.0 <= r["jf_mean"] <= 1.0 for r in results)
+    for n in ("model_0_L3_K3_T0.05_R6.0", "model_0_L3_K5_T0.05_R6.0"):
+        assert os.path.exists(os.path.join(out_dir, n, "converted",
+                                           "video0", "00000.png"))
+
+    # failing combo (bogus davis root inside one stage) -> rc!=0 + SystemExit
+    with pytest.raises(SystemExit):
+        sweep_main(["--checkpoints", ck, "--filelist", str(fl),
+                    "--davis", str(tmp_path / "nope"),
+                    "--model-type", "scratch_zeropad",
+                    "--out-dir", str(tmp_path / "sweep_bad"),
+                    "--L", "3", "--K", "3", "--R", "6", "--in-process",
+                    "--workers", "0"])
+    bad = json.load(open(os.path.join(str(tmp_path / "sweep_bad"),
+                                      "sweep_summary.json")))
+    assert bad[0]["rc"] != 0 and "error" in bad[0]

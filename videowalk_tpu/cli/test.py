@@ -37,6 +37,11 @@ def build_model(args):
         remove_layers=tuple(args.remove_layers),
         head_depth=args.head_depth,
         temperature=args.temperature,
+        # --encode-dtype: trunk-only precision; features are cast back to
+        # f32 inside the encode jit, so propagation math is f32 either way
+        dtype=(jnp.bfloat16
+               if getattr(args, "encode_dtype", "float32") == "bfloat16"
+               else jnp.float32),
     )
     model = CRW(cfg)
     spec = make_encoder(args.model_type, tuple(args.remove_layers))
@@ -60,7 +65,9 @@ def _encode_batch(model, v, x, normalize=False):
               - jnp.asarray(IMAGENET_MEAN, jnp.float32))
              / jnp.asarray(IMAGENET_STD, jnp.float32))
     q, maps = model.apply(v, x, just_feats=True, train=False)
-    return maps  # (B, T, H', W', C)
+    # f32 features regardless of trunk dtype (--encode-dtype bfloat16): the
+    # L2 norm and every downstream propagation op stay full-precision
+    return maps.astype(jnp.float32)  # (B, T, H', W', C)
 
 
 def encode_video(model, variables, imgs: np.ndarray, batch_size: int = 5,

@@ -20,6 +20,8 @@ torch.topk. No host round-trips inside the loop.
 
 from __future__ import annotations
 
+import os
+
 from functools import partial
 
 import numpy as np
@@ -460,6 +462,29 @@ def propagate_labels(
     return preds.reshape(-1, H, W, n_lbl)
 
 
+def _auto_topk_form(H: int, W: int, tile: int, r: int, n_context: int,
+                    n_long: int, topk: int) -> str | None:
+    """Sparse-backend top-k lowering when neither the ``topk_form`` arg nor
+    ``VIDEOWALK_SPARSE_TOPK`` chose one.
+
+    Degenerate single-tile query grids (H, W <= tile — synthetic /
+    fast-test geometries, never real DAVIS/JHMDB) melt Mosaic's compile of
+    the UNROLLED top-k when the pass work k * CW is wide: measured on v5e
+    through the remote compile service (2026-08-19, 8x8 grid, C=256):
+    K=10 R=12 (k*CW=32k) took 278-1556 s to first execution; K=5 R=12
+    (16k) and K=10 R=6 (13k) took seconds; the same K=10 R=12 program at a
+    2x2-tile grid took seconds. The fori_loop form compiles the melt case
+    in 82-213 s (bitwise-equal results), so auto-pick it exactly there;
+    full-size grids keep the ~14%-faster unroll (None = resolve the env
+    default downstream).
+    """
+    win = tile + 2 * r
+    cw = n_long * (-(-(H * W) // 128) * 128) + n_context * win * win
+    if H <= tile and W <= tile and topk * cw >= 24000:
+        return "loop"
+    return None
+
+
 def _propagate_labels_sparse(feats, labels0, key_indices, *, n_context,
                              n_long, topk, temperature, radius, interpret,
                              tile=None, topk_form=None, mesh=None,
@@ -502,6 +527,8 @@ def _propagate_labels_sparse(feats, labels0, key_indices, *, n_context,
     # DMA halo (>= floor(radius), sublane-aligned); the kernel's disk mask
     # uses the exact radius, so odd radii stay exact.
     r = sparse_halo(radius, tile)
+    if topk_form is None and not os.environ.get("VIDEOWALK_SPARSE_TOPK"):
+        topk_form = _auto_topk_form(H, W, tile, r, n_context, n_long, topk)
     feats_pad = pad_for_sparse(feats.reshape(N, C, HW), radius, H, W,
                                tile=tile)
     # same halo + tile-grid padding as the keys (kernel window slices).

@@ -53,7 +53,8 @@ def run_one(ckpt: str, L: int, K: int, T: float, R: float, args) -> dict:
          "--radius", str(R), "--temperature", str(T),
          "--cropSize", str(args.cropSize),
          "--workers", str(getattr(args, "workers", 4)),
-         "--prop-backend", getattr(args, "prop_backend", "auto")]
+         "--prop-backend", getattr(args, "prop_backend", "auto"),
+         "--encode-dtype", getattr(args, "encode_dtype", "float32")]
         + (["--data-parallel"] if getattr(args, "data_parallel", False)
            else []),
         [sys.executable, "-m", "videowalk_tpu.eval.convert_davis",
@@ -79,6 +80,35 @@ def run_one(ckpt: str, L: int, K: int, T: float, R: float, args) -> dict:
                     "error": (sub.stderr or sub.stdout).strip()[-500:]}
         return {"name": name, "rc": 0, "submitted": True,
                 "sbatch": sub.stdout.strip()}
+
+    if getattr(args, "in_process", False):
+        # One process for the whole sweep: every jit (encode, propagation)
+        # compiles once per distinct shape and is reused across combos —
+        # checkpoints share programs, so an A-ckpt x B-combo sweep compiles
+        # B programs instead of A*B. Through a remote-compile TPU tunnel
+        # this is the difference between minutes and an hour (the measured
+        # per-process first-execution compile cost, STATUS round-4); on any
+        # hardware it halves sweep compiles. Trade-off vs the subprocess
+        # default: a crash in one combo is caught, but interpreter state
+        # (RNG, caches) is shared across combos.
+        from videowalk_tpu.cli.test import main as test_main
+        from videowalk_tpu.eval.convert_davis import convert_all
+        from videowalk_tpu.eval.davis_metrics import evaluate_davis
+        from videowalk_tpu.utils.arguments import test_args
+
+        try:
+            print(f"= {name} (in-process)", flush=True)
+            test_main(test_args(cmds[0][3:]))
+            convert_all(save_path, masks_path, args.davis)
+            metrics = evaluate_davis(masks_path, args.davis)
+            return {"name": name, "rc": 0,
+                    "jf_mean": float(metrics["J&F-Mean"])}
+        except SystemExit as e:         # argparse/driver exits stay loud
+            return {"name": name, "rc": int(e.code or 1),
+                    "error": f"in-process stage exited: {e}"}
+        except Exception as e:
+            return {"name": name, "rc": 1,
+                    "error": f"{type(e).__name__}: {e}"}
 
     jf = None
     for c in cmds:
@@ -114,6 +144,13 @@ def main(argv=None):
     parser.add_argument("--T", nargs="+", type=float, default=[0.05])
     parser.add_argument("--R", nargs="+", type=float, default=[12.0])
     parser.add_argument("--sbatch", action="store_true")
+    parser.add_argument("--in-process", dest="in_process",
+                        action="store_true",
+                        help="run every combo's test/convert/metrics as "
+                             "function calls in THIS process so jitted "
+                             "programs compile once per distinct shape "
+                             "and are reused across checkpoints (the "
+                             "subprocess default recompiles per combo)")
     # forwarded to every test.py invocation (TPU extensions; defaults match
     # the CLI's own defaults)
     parser.add_argument("--workers", default=4, type=int,
@@ -121,6 +158,9 @@ def main(argv=None):
     parser.add_argument("--prop-backend", default="auto",
                         choices=["auto", "xla", "tiled", "windowed",
                                  "sparse", "sparse_interpret"])
+    parser.add_argument("--encode-dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="encoder trunk dtype for every test.py run")
     parser.add_argument("--data-parallel", dest="data_parallel",
                         action="store_true",
                         help="shard encode + sparse propagation over all "

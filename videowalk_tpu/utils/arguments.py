@@ -108,6 +108,15 @@ def test_args(argv=None):
     parser.add_argument("--profile-dir", default="", type=str,
                         help="write a jax.profiler trace of one warm video "
                              "(video 1 when available, else video 0) here")
+    # TPU extension: encoder-trunk compute dtype for eval. Features are
+    # cast back to f32 before L2-normalization, so the propagation math
+    # (affinities, top-k, label mixing) is f32 either way; only the conv
+    # trunk changes precision. Default f32 = reference parity.
+    parser.add_argument("--encode-dtype", default="float32", type=str,
+                        choices=["float32", "bfloat16"],
+                        help="encoder compute dtype (bfloat16 runs the conv "
+                             "trunk on the MXU's native precision; features "
+                             "and propagation stay f32)")
     # TPU extension: --distributed shards the VIDEO LIST across processes
     # (each host evaluates videos rank::world on its local chips into the
     # shared --save-path); --data-parallel composes, staying per-host

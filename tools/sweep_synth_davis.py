@@ -47,8 +47,32 @@ def lowfreq_texture(rng: np.random.RandomState, hw: int) -> np.ndarray:
     return ((up - lo) / (hi - lo + 1e-6) * 255).astype(np.uint8)
 
 
-def make_rolling_davis(root: str) -> str:
-    """DAVIS-2017 layout: textures + 2-object masks all rolling at DX."""
+def photometric_jitter(frame: np.ndarray, rng: np.random.RandomState,
+                       strength: float) -> np.ndarray:
+    """Per-frame, per-channel gain+bias jitter (uint8 in/out).
+
+    The designed discriminator for the trained-vs-random rehearsal
+    (STATUS round-3 item 10 left random-CNN features winning on clean
+    rolling textures — they are a strong matching prior there): a random
+    conv stack is roughly linear in intensity at its first layers, so
+    independent per-frame photometric perturbations scramble its feature
+    correspondences, while the CRW walk objective trained ON jittered
+    frames must learn photometric-invariant features to close its cycles.
+    """
+    if strength <= 0:
+        return frame
+    gain = rng.uniform(1 - strength, 1 + strength, (1, 1, 3))
+    bias = rng.uniform(-80 * strength, 80 * strength, (1, 1, 3))
+    out = frame.astype(np.float32) * gain + bias
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def make_rolling_davis(root: str, jitter: float = 0.0) -> str:
+    """DAVIS-2017 layout: textures + 2-object masks all rolling at DX.
+
+    jitter > 0 applies independent per-frame photometric gain+bias to
+    the JPEG frames (masks untouched — they still ride the roll).
+    """
     import cv2
     from PIL import Image
 
@@ -70,7 +94,8 @@ def make_rolling_davis(root: str) -> str:
         y1, x1 = 3 * HW // 5, HW // 2
         ann0[y1:y1 + HW // 5, x1:x1 + HW // 3] = 2
         for t in range(N_FRAMES):
-            img = np.roll(tex, t * DX, axis=1)
+            img = photometric_jitter(np.roll(tex, t * DX, axis=1),
+                                     rng, jitter)
             ann = np.roll(ann0, t * DX, axis=1)
             cv2.imwrite(os.path.join(jdir, f"{t:05d}.jpg"), img[:, :, ::-1],
                         [cv2.IMWRITE_JPEG_QUALITY, 95])
@@ -84,8 +109,10 @@ def make_rolling_davis(root: str) -> str:
 
 
 def make_rolling_kinetics(root: str, vids: int = 6, hw: int = 256,
-                          frames: int = 80) -> str:
-    """<root>/train_256/<cls>/*.mp4 rolling textures for brief training."""
+                          frames: int = 80, jitter: float = 0.0) -> str:
+    """<root>/train_256/<cls>/*.mp4 rolling textures for brief training
+    (per-frame photometric jitter when jitter > 0, matching the eval
+    distribution so the walk objective must learn invariance to it)."""
     import cv2
 
     d = os.path.join(root, "train_256", "roll")
@@ -96,7 +123,9 @@ def make_rolling_kinetics(root: str, vids: int = 6, hw: int = 256,
         w = cv2.VideoWriter(os.path.join(d, f"v{vi}.mp4"),
                             cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (hw, hw))
         for t in range(frames):
-            w.write(np.roll(tex, t * 3, axis=1)[:, :, ::-1])
+            fr = photometric_jitter(np.roll(tex, t * 3, axis=1),
+                                    rng, jitter)
+            w.write(fr[:, :, ::-1])
         w.release()
     return os.path.join(root, "train_256")
 
@@ -126,6 +155,11 @@ def main():
     ap.add_argument("--K", nargs="+", type=int, default=[5, 10])
     ap.add_argument("--R", nargs="+", type=float, default=[5.0, 12.0])
     ap.add_argument("--videoLen", type=int, default=5)
+    ap.add_argument("--jitter", type=float, default=0.0,
+                    help="per-frame photometric gain/bias strength for BOTH the\n train and eval frames (the trained-vs-random discriminator)")
+    ap.add_argument("--in-process", dest="in_process",
+                    action="store_true",
+                    help="forward --in-process to run_test (one interpreter,\n programs shared across checkpoints)")
     args = ap.parse_args()
 
     wd = args.workdir
@@ -135,7 +169,7 @@ def main():
 
     davis = os.path.join(wd, "DAVIS")
     if not os.path.exists(os.path.join(davis, "ImageSets")):
-        make_rolling_davis(davis)
+        make_rolling_davis(davis, jitter=args.jitter)
     vallist = os.path.join(wd, "davis_vallist.txt")
     subprocess.run([sys.executable, "-m",
                     "videowalk_tpu.eval.make_davis_vallist",
@@ -155,9 +189,15 @@ def main():
         else:
             data = os.path.join(wd, "kinetics")
             if not os.path.exists(data):
-                make_rolling_kinetics(data)
+                make_rolling_kinetics(data, jitter=args.jitter)
             out = os.path.join(wd, "train_out")
             r = subprocess.run(
+                # steps/epoch = vids * clips_per_video / batch; size epochs
+                # so the TOTAL step count reaches --train-steps (a single
+                # epoch over this small tree is only ~3 batches — running
+                # "--epochs 1 --steps-per-epoch N" silently trained 3 steps,
+                # which is how the 2026-08-19 jitter pilot produced two
+                # near-random checkpoints).
                 [sys.executable, "-m", "videowalk_tpu.cli.train",
                  "--data-path", os.path.join(data, "train_256"),
                  "--cache-dataset",
@@ -165,8 +205,9 @@ def main():
                  "--output-dir", out,
                  "--img-size", "256", "--clip-len", "4",
                  "--batch-size", "8", "--frame-skip", "4",
-                 "--epochs", "1", "--steps-per-epoch",
-                 str(args.train_steps),
+                 "--clips-per-video", "40",
+                 "--epochs", str(max(1, -(-args.train_steps // 30))),
+                 "--steps-per-epoch", "30",
                  "--augs-backend", "device", "--workers", "2",
                  "--lr", "1e-4", "--print-freq", "25",
                  "--sp-method", "none", "--patch-size", "64", "64", "3"],
@@ -184,6 +225,8 @@ def main():
            "--K"] + [str(k) for k in args.K] + [
            "--R"] + [str(r) for r in args.R] + [
            "--cropSize", "-1", "--workers", "2"]
+    if args.in_process:
+        cmd.append("--in-process")
     print("+", " ".join(cmd), flush=True)
     rc = subprocess.run(cmd, env=env, cwd=REPO).returncode
     summary = os.path.join(sweep_out, "sweep_summary.json")

@@ -107,3 +107,66 @@ def test_sk_targets_in_model():
     q, loss, diags = model.apply(v, x, train=False)
     assert np.isfinite(float(loss))
     assert "xent sk 1" in diags
+
+
+def test_step_shortfall_guard(capsys):
+    """An epoch delivering fewer batches than --steps-per-epoch is LOUD:
+    warns by default, raises under --strict-steps, silent when met or when
+    the flag was left at its unlimited default (VERDICT r4 weak #3 — the
+    silent-200-of-1200-steps rehearsal artifact)."""
+    import argparse
+
+    import pytest
+
+    from videowalk_tpu.cli.train import _STEPS_UNLIMITED, check_step_shortfall
+
+    def args_for(spe, strict=False):
+        return argparse.Namespace(steps_per_epoch=spe, strict_steps=strict)
+
+    # short epoch -> warning names both numbers
+    check_step_shortfall(args_for(30), epoch=2, delivered=5)
+    out = capsys.readouterr().out
+    assert "WARNING" in out and "5 batches" in out and "30" in out
+
+    # strict -> RuntimeError
+    with pytest.raises(RuntimeError, match="delivered 5"):
+        check_step_shortfall(args_for(30, strict=True), epoch=0, delivered=5)
+
+    # met exactly, or unlimited default: silent
+    check_step_shortfall(args_for(30), epoch=0, delivered=30)
+    check_step_shortfall(args_for(_STEPS_UNLIMITED, strict=True),
+                         epoch=0, delivered=3)
+    assert capsys.readouterr().out == ""
+
+
+def test_remat_bare_default_is_layer1(capsys, monkeypatch):
+    """Bare --remat resolves to the measured ladder winner 'layer1' with a
+    loud note; explicit stages and the VIDEOWALK_REMAT_STAGES env keep
+    precedence (VERDICT r4 weak #4)."""
+    import argparse
+
+    from videowalk_tpu.cli.train import resolve_remat_args
+
+    monkeypatch.delenv("VIDEOWALK_REMAT_STAGES", raising=False)
+    a = argparse.Namespace(remat=True, remat_stages=None)
+    resolve_remat_args(a)
+    assert a.remat_stages == "layer1"
+    assert "layer1" in capsys.readouterr().out
+
+    # explicit 'all' is the escape hatch and survives untouched
+    a = argparse.Namespace(remat=True, remat_stages="all")
+    resolve_remat_args(a)
+    assert a.remat_stages == "all"
+
+    # env knob keeps trace-time precedence: remat_stages stays None
+    monkeypatch.setenv("VIDEOWALK_REMAT_STAGES", "layer1,layer2")
+    a = argparse.Namespace(remat=True, remat_stages=None)
+    resolve_remat_args(a)
+    assert a.remat_stages is None
+
+    # no remat: explicit stages warn as inert
+    monkeypatch.delenv("VIDEOWALK_REMAT_STAGES", raising=False)
+    capsys.readouterr()
+    a = argparse.Namespace(remat=False, remat_stages="layer1")
+    resolve_remat_args(a)
+    assert "inert" in capsys.readouterr().out

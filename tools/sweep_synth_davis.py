@@ -130,6 +130,24 @@ def make_rolling_kinetics(root: str, vids: int = 6, hw: int = 256,
     return os.path.join(root, "train_256")
 
 
+def epoch_batches(train_flags: list[str]) -> int:
+    """Real batches/epoch for a train-CLI flag list: build the same dataset,
+    sampler, and loader the CLI builds and return len(loader). Runs in this
+    process (decoded metadata lands in --cache-path, so the CLI run reuses
+    it rather than re-probing the mp4s)."""
+    from videowalk_tpu.cli.train import make_dataset
+    from videowalk_tpu.data import DataLoader, RandomClipSampler
+    from videowalk_tpu.utils.arguments import train_args
+
+    args = train_args(train_flags)
+    dataset = make_dataset(args, transform=None)
+    sampler = (RandomClipSampler(dataset.video_clips, args.clips_per_video,
+                                 seed=args.seed)
+               if hasattr(dataset, "video_clips") else None)
+    return len(DataLoader(dataset, batch_size=args.batch_size,
+                          sampler=sampler, num_workers=1))
+
+
 def make_random_ckpt(path: str) -> str:
     import jax
     import jax.numpy as jnp
@@ -191,30 +209,42 @@ def main():
             if not os.path.exists(data):
                 make_rolling_kinetics(data, jitter=args.jitter)
             out = os.path.join(wd, "train_out")
+            train_flags = [
+                "--data-path", os.path.join(data, "train_256"),
+                "--cache-dataset",
+                "--cache-path", os.path.join(wd, "cache.pt"),
+                "--output-dir", out,
+                "--img-size", "256", "--clip-len", "4",
+                "--batch-size", "8", "--frame-skip", "4",
+                "--clips-per-video", "40",
+                "--augs-backend", "device", "--workers", "2",
+                "--lr", "1e-4", "--print-freq", "25",
+                "--sp-method", "none", "--patch-size", "64", "64", "3"]
+            # Size --epochs from the REAL epoch length, measured with the
+            # same dataset/sampler/loader modules the CLI uses — the naive
+            # vids*clips_per_video/batch estimate is silently wrong when the
+            # sampler caps at the available clips (the 2026-08-19 pilots:
+            # a nominal 30-step epoch delivered ~5 batches, so
+            # "--train-steps 1200" trained 200 steps; VERDICT r4 weak #3).
+            # --strict-steps makes any residual mismatch fail loudly.
+            bpe = epoch_batches(train_flags)
+            epochs = max(1, -(-args.train_steps // bpe))
+            print(f"epoch length {bpe} batches -> --epochs {epochs} "
+                  f"({epochs * bpe} steps for --train-steps "
+                  f"{args.train_steps})", flush=True)
             r = subprocess.run(
-                # steps/epoch = vids * clips_per_video / batch; size epochs
-                # so the TOTAL step count reaches --train-steps (a single
-                # epoch over this small tree is only ~3 batches — running
-                # "--epochs 1 --steps-per-epoch N" silently trained 3 steps,
-                # which is how the 2026-08-19 jitter pilot produced two
-                # near-random checkpoints).
-                [sys.executable, "-m", "videowalk_tpu.cli.train",
-                 "--data-path", os.path.join(data, "train_256"),
-                 "--cache-dataset",
-                 "--cache-path", os.path.join(wd, "cache.pt"),
-                 "--output-dir", out,
-                 "--img-size", "256", "--clip-len", "4",
-                 "--batch-size", "8", "--frame-skip", "4",
-                 "--clips-per-video", "40",
-                 "--epochs", str(max(1, -(-args.train_steps // 30))),
-                 "--steps-per-epoch", "30",
-                 "--augs-backend", "device", "--workers", "2",
-                 "--lr", "1e-4", "--print-freq", "25",
-                 "--sp-method", "none", "--patch-size", "64", "64", "3"],
+                [sys.executable, "-m", "videowalk_tpu.cli.train"]
+                + train_flags
+                + ["--epochs", str(epochs),
+                   "--steps-per-epoch", str(bpe), "--strict-steps"],
                 env=env, cwd=REPO)
             if r.returncode != 0:
                 sys.exit(f"training failed rc={r.returncode}")
             shutil.copy(os.path.join(out, "checkpoint.pth"), ck2)
+            with open(os.path.join(wd, "train_steps.json"), "w") as f:
+                json.dump({"requested_train_steps": args.train_steps,
+                           "epoch_batches": bpe, "epochs": epochs,
+                           "delivered_train_steps": epochs * bpe}, f)
 
     sweep_out = os.path.join(wd, "sweep")
     cmd = [sys.executable, "-m", "videowalk_tpu.eval.run_test",

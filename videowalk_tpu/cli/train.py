@@ -36,6 +36,10 @@ from videowalk_tpu.parallel import (create_train_state, make_mesh,
 from videowalk_tpu.utils import (MetricLogger, SmoothedValue, load_checkpoint,
                                  partial_load, save_checkpoint)
 
+# --steps-per-epoch's "unlimited" default (utils/arguments.py): at or above
+# this the flag was not set by the caller and the shortfall guard is off.
+_STEPS_UNLIMITED = int(1e10)
+
 
 def model_config(args) -> CRWConfig:
     return CRWConfig(
@@ -122,6 +126,59 @@ def make_dataset(args, transform):
                      transform=transform, random_clip=True, seed=args.seed)
 
 
+def resolve_remat_args(args) -> None:
+    """--remat-stages startup semantics (mutates args in place).
+
+    An explicit stage list is validated eagerly (a typo'd list must fail at
+    startup even when resnet.py's remat gate would never read it) and warned
+    about when inert (--remat off). Bare --remat gets the MEASURED default
+    'layer1' (batch-32 remat ladder, v5e 2026-08-19, STATUS round-4 item 1:
+    layer1-only runs 543.5 ms/step vs full remat's 636.6 and even beats
+    remat-off's 552.2 — recomputing the cheap-FLOPs/large-bytes 16x16x64
+    stage is cheaper than storing it, while layer3/4 recompute is pure
+    loss); --remat-stages all is the full-remat escape hatch for
+    memory-constrained scales the ladder did not cover. An explicit
+    VIDEOWALK_REMAT_STAGES env keeps its documented trace-time precedence
+    (remat_stages stays None and defers)."""
+    if getattr(args, "remat_stages", None) is not None:
+        from videowalk_tpu.models.resnet import _remat_stage_set
+
+        _remat_stage_set(args.remat_stages)
+        if not getattr(args, "remat", False):
+            print("WARNING: --remat-stages is inert without --remat "
+                  "(selective remat only chooses WHICH stages remat)",
+                  flush=True)
+    elif getattr(args, "remat", False):
+        if "VIDEOWALK_REMAT_STAGES" not in os.environ:
+            args.remat_stages = "layer1"
+            print("NOTE: --remat without --remat-stages uses the measured "
+                  "default 'layer1' (batch-32 ladder: 543.5 ms/step vs full "
+                  "remat's 636.6 on v5e). Pass --remat-stages all for full "
+                  "remat if activations do not fit.", flush=True)
+
+
+def check_step_shortfall(args, epoch: int, delivered: int) -> None:
+    """Silent step-shortfall guard (the bug class behind the 2026-08-19
+    rehearsal pilots: "--train-steps 1200" silently trained 200 steps
+    because the loader held ~5 batches/epoch, not the requested 30; the
+    reference's own epoch loop, code/train.py:294-298, has the same silent
+    behavior). An explicit --steps-per-epoch is a step BUDGET the caller
+    sized total training around, so falling short must be loud: WARN by
+    default, raise under --strict-steps."""
+    if not (args.steps_per_epoch < _STEPS_UNLIMITED
+            and delivered < args.steps_per_epoch):
+        return
+    msg = (f"epoch {epoch} delivered {delivered} batches but "
+           f"--steps-per-epoch requested {args.steps_per_epoch}: the "
+           f"loader is shorter than the request, so total trained steps "
+           f"fall short by the same ratio. Size --epochs from the real "
+           f"epoch length (printed at loader creation), or add data / "
+           f"raise --clips-per-video.")
+    if getattr(args, "strict_steps", False):
+        raise RuntimeError(msg)
+    print("WARNING: " + msg, flush=True)
+
+
 def train_one_epoch(args, models, steps, state, data_loader, epoch, mesh,
                     rng, checkpoint_fn, device_slic_fn, vis=None):
     metric_logger = MetricLogger(delimiter="  ")
@@ -158,6 +215,7 @@ def train_one_epoch(args, models, steps, state, data_loader, epoch, mesh,
     # O(videos) sum, and per-step calls would also tempt a sampler draw
     total_steps = min(args.steps_per_epoch, len(data_loader))
 
+    delivered = 0
     try:
         # total=total_steps: with --steps-per-epoch below the loader length
         # the ETA and the [i/total] counter must count to the real stop
@@ -167,6 +225,7 @@ def train_one_epoch(args, models, steps, state, data_loader, epoch, mesh,
                                         total=total_steps)):
             if step_i >= args.steps_per_epoch:
                 break
+            delivered += 1
             if device_augs:
                 # batched on-TPU 3-view transform (ops/augs_device.py) replaces
                 # the host augmentation pipeline entirely
@@ -265,6 +324,7 @@ def train_one_epoch(args, models, steps, state, data_loader, epoch, mesh,
             # loader/step exception, or the finite-loss abort — else the
             # trace is left running and unreadable
             jax.profiler.stop_trace()
+    check_step_shortfall(args, epoch, delivered)
     if checkpoint_fn is not None:
         checkpoint_fn(state, epoch)
     return state
@@ -312,17 +372,7 @@ def main(args):
         print("WARNING: --sk-align is parsed but dead (as in the "
               "reference); use --sk-targets for the Sinkhorn-Knopp target "
               "path", flush=True)
-    # --remat-stages: validate eagerly (a typo'd stage list must fail at
-    # startup even when resnet.py's remat gate would never read it), and
-    # warn when it is inert because --remat is off.
-    if getattr(args, "remat_stages", None) is not None:
-        from videowalk_tpu.models.resnet import _remat_stage_set
-
-        _remat_stage_set(args.remat_stages)
-        if not getattr(args, "remat", False):
-            print("WARNING: --remat-stages is inert without --remat "
-                  "(selective remat only chooses WHICH stages remat)",
-                  flush=True)
+    resolve_remat_args(args)
 
     print("Arguments", end="\n" + "-" * 100 + "\n")
     for arg, value in vars(args).items():
@@ -356,6 +406,11 @@ def main(args):
                              sampler=sampler,
                              num_workers=max(1, args.workers // 2),
                              shard=(rank, world) if world > 1 else None)
+    # Loud, parseable epoch length: callers sizing --epochs around a step
+    # budget need the REAL batches/epoch (see the shortfall guard in
+    # train_one_epoch; sampler caps like clips-per-video > available clips
+    # make the naive vids*cpv/batch estimate silently wrong).
+    print(f"Epoch length: {len(data_loader)} batches", flush=True)
 
     # Model
     print("Creating model", end="\n" + "-" * 100 + "\n")

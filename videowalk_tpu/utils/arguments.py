@@ -141,7 +141,13 @@ def train_args(argv=None):
     parser.add_argument("--clips-per-video", default=5, type=int, metavar="N")
     parser.add_argument("-b", "--batch-size", default=8, type=int)
     parser.add_argument("--epochs", default=25, type=int, metavar="N")
-    parser.add_argument("--steps-per-epoch", default=int(1e10), type=int)
+    parser.add_argument("--steps-per-epoch", default=int(1e10), type=int,
+                        help="step budget per epoch; if the loader delivers "
+                             "fewer batches the epoch WARNS loudly (or "
+                             "fails under --strict-steps)")
+    parser.add_argument("--strict-steps", default=False, action="store_true",
+                        help="error (instead of warn) when an epoch yields "
+                             "fewer batches than --steps-per-epoch")
     parser.add_argument("-j", "--workers", default=10, type=int, metavar="N")
     parser.add_argument("--lr", default=1e-4, type=float)
     parser.add_argument("--momentum", default=0.9, type=float, metavar="M")
@@ -247,13 +253,12 @@ def train_args(argv=None):
                         help="rematerialize encoder blocks in backward "
                              "(memory for ~30% FLOPs; big-batch 256px runs)")
     parser.add_argument("--remat-stages", default=None, type=str,
-                        help="with --remat: comma list of stages to remat "
-                             "(measured winner at the batch-32 flagship on "
-                             "v5e: 'layer1' — 543.5 ms vs full remat's "
-                             "636.6, and even vs remat-off's 552.2; see "
-                             "STATUS round-4 table); '' or 'all' = every "
-                             "stage; flag absent = defer to the trace-time "
-                             "env VIDEOWALK_REMAT_STAGES (default all)")
+                        help="with --remat: comma list of stages to remat; "
+                             "'' or 'all' = every stage (full remat). Flag "
+                             "absent + --remat = the measured default "
+                             "'layer1' (batch-32 ladder on v5e: 543.5 ms vs "
+                             "full remat's 636.6, and even vs remat-off's "
+                             "552.2; STATUS round-4 table)")
     parser.add_argument("--augs-backend", default="host", type=str,
                         help="host (numpy/cv2 in loader threads) | device "
                              "(batched on-TPU 3-view transform)")

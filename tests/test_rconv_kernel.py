@@ -8,9 +8,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from videowalk_tpu.ops.rconv_kernel import (reflect_conv3x3,
-                                            reflect_conv3x3_rowpad,
-                                            rconv_supported)
+from videowalk_tpu.ops.rconv_kernel import reflect_conv3x3, rconv_supported
 
 
 def _oracle(x, w):
@@ -74,56 +72,6 @@ def test_gradients_match_oracle_16px():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(dwk), np.asarray(dwo),
                                rtol=1e-4, atol=1e-5)
-
-
-@pytest.mark.parametrize("N,H,W,cin,cout", [
-    (3, 8, 8, 16, 32),     # layer3/4-like
-    (2, 16, 16, 8, 8),     # layer1-like (the shape rowpad targets)
-    (9, 8, 8, 4, 16),
-    (17, 8, 8, 8, 8),      # batch not divisible by the tile
-])
-def test_rowpad_forward_matches_oracle(N, H, W, cin, cout):
-    x = _rand((N, H, W, cin), 0)
-    w = _rand((3, 3, cin, cout), 1) * 0.1
-    y = reflect_conv3x3_rowpad(x, w)
-    np.testing.assert_allclose(np.asarray(y), np.asarray(_oracle(x, w)),
-                               rtol=1e-5, atol=1e-5)
-
-
-@pytest.mark.parametrize("N,H,W,cin,cout", [
-    (4, 8, 8, 8, 16),
-    (2, 16, 16, 4, 8),
-])
-def test_rowpad_gradients_match_oracle(N, H, W, cin, cout):
-    x = _rand((N, H, W, cin), 2)
-    w = _rand((3, 3, cin, cout), 3) * 0.1
-    g = _rand((N, H, W, cout), 4)
-    dxk, dwk = jax.grad(
-        lambda x, w: jnp.sum(reflect_conv3x3_rowpad(x, w) * g), (0, 1))(x, w)
-    dxo, dwo = jax.grad(
-        lambda x, w: jnp.sum(_oracle(x, w) * g), (0, 1))(x, w)
-    np.testing.assert_allclose(np.asarray(dxk), np.asarray(dxo),
-                               rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(dwk), np.asarray(dwo),
-                               rtol=1e-4, atol=1e-5)
-
-
-def test_rowpad_algo_env_selects_kernel(monkeypatch):
-    """VIDEOWALK_RCONV_ALGO=rowpad routes PadConv's REFLECT_KERNEL path to
-    the rowpad kernel; a bogus value fails loudly at trace time."""
-    from videowalk_tpu.ops.reflect_conv import PadConv
-
-    x = _rand((2, 8, 8, 8), 8)
-    conv = PadConv(features=8, kernel=3, stride=1)
-    v = conv.init(jax.random.PRNGKey(0), x, "VALID")
-    monkeypatch.setenv("VIDEOWALK_RCONV_ALGO", "rowpad")
-    y = conv.apply(v, x, "REFLECT_KERNEL")
-    yo = _oracle(x, v["params"]["kernel"])
-    np.testing.assert_allclose(np.asarray(y), np.asarray(yo),
-                               rtol=1e-5, atol=1e-5)
-    monkeypatch.setenv("VIDEOWALK_RCONV_ALGO", "bogus")
-    with pytest.raises(ValueError, match="VIDEOWALK_RCONV_ALGO"):
-        conv.apply(v, x, "REFLECT_KERNEL")
 
 
 def test_encoder_integration_matches_fallback(monkeypatch):

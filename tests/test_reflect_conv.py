@@ -12,6 +12,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Slow tier (round-5 pruning policy, CLAUDE.md): every mode this file pins
+# (VIDEOWALK_REFLECT_FUSE=always strip rewrite, =dots ring rewrite) is a
+# MEASURED LOSER kept only as an exact, tested alternative for future
+# hardware; the production default path is covered by the encoder parity
+# tests in test_models.py and the rconv kernel tests.
+pytestmark = pytest.mark.slow
+
 from videowalk_tpu.ops.reflect_conv import reflect_conv2d
 from videowalk_tpu.ops.reflect_pad import reflect_pad_hw
 
@@ -179,38 +186,4 @@ def test_resnet_reflect_unchanged_by_fusion():
     finally:
         R._pad_conv = orig
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
-                               rtol=1e-4, atol=1e-4)
-
-
-@pytest.mark.parametrize("pads", [[(0, 0), (0, 0)], [(1, 1), (1, 1)]])
-def test_pair_packed_conv_matches_plain(pads):
-    """VIDEOWALK_L1PACK path: image-pair channel packing with a
-    block-diagonal kernel is the plain conv (fwd + both grads) up to
-    reduction-tree reassociation."""
-    from videowalk_tpu.ops.reflect_conv import pair_packed_conv
-
-    kx, kw, kc = jax.random.split(jax.random.PRNGKey(7), 3)
-    x = jax.random.normal(kx, (6, 9, 9, 64), jnp.float32)
-    w = jax.random.normal(kw, (3, 3, 64, 64), jnp.float32) * 0.1
-    ct = jax.random.normal(kc, pair_packed_conv(x, w, pads).shape,
-                           jnp.float32)
-
-    def plain(x, w):
-        return jax.lax.conv_general_dilated(
-            x, w, (1, 1), pads, dimension_numbers=("NHWC", "HWIO", "NHWC"))
-
-    def loss(f):
-        def run(x, w):
-            return jnp.sum(f(x, w) * ct)
-        return run
-
-    np.testing.assert_allclose(
-        np.asarray(pair_packed_conv(x, w, pads)),
-        np.asarray(plain(x, w)), rtol=1e-5, atol=1e-5)
-    (dxp, dwp) = jax.grad(loss(lambda x, w: pair_packed_conv(x, w, pads)),
-                          argnums=(0, 1))(x, w)
-    (dxn, dwn) = jax.grad(loss(plain), argnums=(0, 1))(x, w)
-    np.testing.assert_allclose(np.asarray(dxp), np.asarray(dxn),
-                               rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(dwp), np.asarray(dwn),
                                rtol=1e-4, atol=1e-4)

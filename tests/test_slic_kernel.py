@@ -19,6 +19,14 @@ def quadrant(h=64, w=64, seed=0):
     return np.clip(img + rng.rand(h, w, 3).astype(np.float32) * 0.05, 0, 1)
 
 
+
+# Slow tier (round-5 pruning policy, CLAUDE.md): the fused per-frame SLIC
+# kernel is a MEASURED LOSER vs the batched XLA slic_device path (its
+# module docstring records the verdict); parity stays pinned here for
+# future hardware only.
+import pytest
+pytestmark = pytest.mark.slow
+
 def test_fused_slic_matches_xla():
     x = jnp.asarray(quadrant()[None])
     l_ref = np.asarray(slic(x, 9, 30.0))

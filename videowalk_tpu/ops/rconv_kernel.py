@@ -55,15 +55,29 @@ cached shifts (fewer rolls, but larger live-set on Mosaic's stack —
 neutral-to-slower). Lesson: isolated per-conv wins do not compose; gate
 changes must be A/B'd on the full step.
 
-Dead end, do NOT rebuild (v5e, 2026-08-18): a "tap-concat" forward that
-stacked the 9 fixed-tap views in a (9, M, C) buffer and contracted (tap, C)
-jointly in one dot_general — hoping Mosaic would lower K = 9*C as a single
-matmul for the MXU-starved low-C layers — fails Mosaic verification
-outright: `tpu.matmul` only supports a single size-1 contracting dim
-("lhs contracting dims must be of size 1"). Physically building the (M, 9C)
-concat instead needs either a sublane relayout per tap (the v1 formulation,
-measured 235 vs 130 ms/step) or lane-offset stores at multiples of C < 128
-(misaligned at the C=64 layer the idea targeted). Deleted in round 3.
+Dead ends, do NOT rebuild (each was built, parity-pinned, and measured on
+the full flagship step before deletion; git history holds the code):
+
+- "tap-concat" (v5e, 2026-08-18): stacking the 9 fixed-tap views in a
+  (9, M, C) buffer and contracting (tap, C) jointly in one dot_general —
+  hoping Mosaic would lower K = 9*C as a single matmul for the MXU-starved
+  low-C layers — fails Mosaic verification outright: `tpu.matmul` only
+  supports a single size-1 contracting dim ("lhs contracting dims must be
+  of size 1"). Physically building the (M, 9C) concat instead needs either
+  a sublane relayout per tap (the v1 formulation, measured 235 vs 130
+  ms/step) or lane-offset stores at multiples of C < 128 (misaligned at the
+  C=64 layer the idea targeted). Deleted in round 3.
+- "rowpad" v3 (v5e, 2026-08-19; full table in STATUS round-4 item 2): pad
+  each image with its two reflect ROWS (image pitch (H+2)*W) and resolve
+  the column reflect once into three buffers, making all 9 taps pure
+  aligned rolls — 2 selects + ~10 rolls vs flat's ~16 + ~25. Structural
+  LOSER at every gating (flat@L4 124.8 ms vs rowpad@L4 133.6, @L3+L4
+  137.0, all interiors 180.4): the (H+2)/H padded rows multiply MXU time
+  exactly where the kernel wins (~91% MFU at L4 — 1.25x rows is pure
+  loss), and at low C the binding resource was never the VPU select chain
+  but the K=64 MXU-starved matmuls, which rowpad inflates. Deleted in
+  round 5 (pruning policy, CLAUDE.md; the VIDEOWALK_RCONV_ALGO env knob
+  errors loudly now).
 
 Exactness is pinned by tests/test_rconv_kernel.py against reflect-pad+VALID:
 forward, input gradient, and kernel gradient.
@@ -356,256 +370,6 @@ def _dw_call(x, gy, interpret):
         interpret=interpret,
     )(x, gy)
     return dw
-
-
-# ----------------------------------------------- v3: row-padded pitch algo
-#
-# The VERDICT r3 roadmap design, built for the low-C layers where the flat
-# algo's 16-where select chain drowns the MXU-starved matmuls: pad each
-# image with its two reflect ROWS (row pitch stays W, image pitch becomes
-# (H+2)*W — no column padding, so the flat (Mp, C) reshape stays free and
-# every row offset stays sublane-tile aligned for W in {8,16,32}), then
-# resolve the column reflect ONCE into three buffers
-#   XL[p] = x[p-1] (col 0 -> +1)   XC = x   XR[p] = x[p+1] (col W-1 -> -1)
-# after which ALL NINE taps are pure aligned rolls: tap(dy,dx) =
-# shift([XL,XC,XR][dx], (dy-1)*W). Total VPU work: 2 selects + ~10 aligned
-# rolls per block vs the flat algo's ~16 selects + ~25 rolls; matmul rows
-# grow by (H+2)/H (1.125x at 16x16, 1.25x at 8x8).
-#
-# MEASURED LOSER (v5e, 2026-08-19; full flagship step, same-process
-# interleaved A/B, 3 rounds, spread < 0.5 ms — /tmp gone, table in STATUS
-# round-4 item 2): base flat@L4 124.5 ms vs rowpad@L4 133.5, rowpad@L3+L4
-# 137.0, rowpad at every interior incl. 16x16 layer1 180.4. The select/roll
-# savings never show up: the extra (H+2)/H matmul rows cost MXU time where
-# the kernel already wins (L4, 1.25x rows on a ~91%-MFU op), and at low C
-# the bottleneck was never the VPU select chain — it is the MXU-starved
-# K=64 matmuls themselves, which rowpad makes 12.5-25% WORSE. Kept behind
-# VIDEOWALK_RCONV_ALGO=rowpad (parity-tested) for future hardware with a
-# different VPU/MXU balance; do NOT extend this design, the loss is
-# structural (padded rows multiply exactly the resource that binds).
-#
-# Wraparound safety (why no extra masks are needed): row rolls move exactly
-# one row (W rows of the flat buffer), and every image carries one pad row
-# at each end, so a wrapped read can only land in (or come from) a pad row.
-# Forward: wrapped rows feed pad-row outputs, which are discarded by the
-# output slice. dW: the cotangent is embedded with ZERO pad rows, so the
-# row-shifted gp's wrapped rows read those zeros. dx: c_t = gp @ W^T keeps
-# gp's zero pad rows, absorbing the wrap the same way.
-
-
-def _col_masks(Mp: int, W: int):
-    p = jax.lax.broadcasted_iota(jnp.int32, (Mp, 1), 0)
-    w = p & (W - 1)
-    return (w == 0), (w == W - 1)
-
-
-def _rowpad_embed(a4, H):
-    """(g, H, W, C) -> (g, H+2, W, C) with reflect pad rows (row -1 = row 1,
-    row H = row H-2; torch 'reflect')."""
-    return jnp.concatenate([a4[:, 1:2], a4, a4[:, H - 2:H - 1]], axis=1)
-
-
-def _zero_embed(a4):
-    z = jnp.zeros_like(a4[:, :1])
-    return jnp.concatenate([z, a4, z], axis=1)
-
-
-def _col_buffers(xc, Mp, W):
-    """The three column-resolved views; see module note. Built once, all
-    taps become pure row rolls of one of them."""
-    at_w0, at_w1 = _col_masks(Mp, W)
-    xl = jnp.where(at_w0, _shift(xc, 1), _shift(xc, -1))
-    xr = jnp.where(at_w1, _shift(xc, -1), _shift(xc, 1))
-    return xl, xc, xr
-
-
-def _unpad_rows(a4, H):
-    """Transpose of _rowpad_embed: interior rows + pad-row cotangents folded
-    into image rows 1 and H-2 (5-piece aligned concat; needs H >= 4)."""
-    return jnp.concatenate([
-        a4[:, 1:2],
-        a4[:, 2:3] + a4[:, 0:1],
-        a4[:, 3:H - 1],
-        a4[:, H - 1:H] + a4[:, H + 1:H + 2],
-        a4[:, H:H + 1],
-    ], axis=1)
-
-
-def _fwd_kernel_rp(x_ref, w_ref, o_ref, acc_ref, *, H, W, g):
-    cin = x_ref.shape[-1]
-    cout = o_ref.shape[-1]
-    Mp = g * (H + 2) * W
-    xp = _rowpad_embed(x_ref[...], H).reshape(Mp, cin)
-    srcs = _col_buffers(xp, Mp, W)
-    for t, (dy, dx) in enumerate(TAPS):
-        xt = _shift(srcs[dx], (dy - 1) * W)
-        c = jnp.dot(xt, w_ref[t], preferred_element_type=jnp.float32)
-        if t == 0:
-            acc_ref[...] = c
-        else:
-            acc_ref[...] += c
-    o_ref[...] = (acc_ref[...].reshape(g, H + 2, W, cout)[:, 1:H + 1]
-                  .astype(o_ref.dtype))
-
-
-def _fwd_call_rp(x, w9, interpret):
-    N, H, W, cin = x.shape
-    cout = w9.shape[-1]
-    g = _g_for((H + 2) * W, cin, cout, x.dtype.itemsize, n_live=7)
-    pad_n = (-N) % g
-    x = _pad_batch(x, pad_n)
-    y = pl.pallas_call(
-        functools.partial(_fwd_kernel_rp, H=H, W=W, g=g),
-        grid=((N + pad_n) // g,),
-        in_specs=[
-            pl.BlockSpec((g, H, W, cin), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, cin, cout), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((g, H, W, cout), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N + pad_n, H, W, cout), x.dtype),
-        scratch_shapes=[pltpu.VMEM((g * (H + 2) * W, cout), jnp.float32)],
-        compiler_params=_COMPILER_PARAMS,
-        interpret=interpret,
-    )(x, w9)
-    return y[:N]
-
-
-def _dx_kernel_rp(g_ref, wt_ref, o_ref, *, H, W, g):
-    """Transpose of the rowpad forward. Per tap: c_t = gp @ W[t]^T (gp has
-    zero pad rows); the tap-roll transpose accumulates d{XL,XC,XR}; the
-    column-buffer transpose folds them back into dxp via the two disjoint
-    (mask, +-1) legs; _unpad_rows folds the pad rows into dx."""
-    cout = g_ref.shape[-1]
-    cin = o_ref.shape[-1]
-    Mp = g * (H + 2) * W
-    gp = _zero_embed(g_ref[...]).reshape(Mp, cout)
-    at_w0, at_w1 = _col_masks(Mp, W)
-    dsrc = [None, None, None]   # dXL, dXC, dXR
-    for t, (dy, dx) in enumerate(TAPS):
-        c = jnp.dot(gp, wt_ref[t], preferred_element_type=jnp.float32)
-        # forward: xt[p] = src[p + o] => dsrc[q] += c[q - o] = roll(c, o)
-        o = (dy - 1) * W
-        term = jnp.roll(c, o, axis=0) if o else c
-        dsrc[dx] = term if dsrc[dx] is None else dsrc[dx] + term
-    dxl, dxc, dxr = dsrc
-    # XL = where(at_w0, shift(x,+1), shift(x,-1)): legs (at_w0,+1),(else,-1)
-    acc = dxc
-    acc += jnp.roll(jnp.where(at_w0, dxl, 0.0), 1, axis=0)
-    acc += jnp.roll(jnp.where(at_w0, 0.0, dxl), -1, axis=0)
-    acc += jnp.roll(jnp.where(at_w1, dxr, 0.0), -1, axis=0)
-    acc += jnp.roll(jnp.where(at_w1, 0.0, dxr), 1, axis=0)
-    o_ref[...] = (_unpad_rows(acc.reshape(g, H + 2, W, cin), H)
-                  .astype(o_ref.dtype))
-
-
-def _dx_call_rp(gy, w9, cin, interpret):
-    N, H, W, cout = gy.shape
-    wt = jnp.swapaxes(w9, 1, 2)
-    g = _g_for((H + 2) * W, cout, cin, gy.dtype.itemsize, n_live=10,
-               temp_itemsize=4)
-    pad_n = (-N) % g
-    gy = _pad_batch(gy, pad_n)
-    dx = pl.pallas_call(
-        functools.partial(_dx_kernel_rp, H=H, W=W, g=g),
-        grid=((N + pad_n) // g,),
-        in_specs=[
-            pl.BlockSpec((g, H, W, cout), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, cout, cin), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((g, H, W, cin), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N + pad_n, H, W, cin), gy.dtype),
-        compiler_params=_COMPILER_PARAMS,
-        interpret=interpret,
-    )(gy, wt)
-    return dx[:N]
-
-
-def _dw_kernel_rp(x_ref, g_ref, dw_ref, *, H, W, g):
-    """dW[t] = xt^T @ gp = src_dx^T @ shift(gp, -(dy-1)*W): three row-shifted
-    cotangents replace nine shifted tap views (zero per-tap VPU work)."""
-    i = pl.program_id(1)
-
-    @pl.when(i == 0)
-    def _():
-        dw_ref[...] = jnp.zeros_like(dw_ref)
-
-    cin = x_ref.shape[-1]
-    cout = g_ref.shape[-1]
-    Mp = g * (H + 2) * W
-    xp = _rowpad_embed(x_ref[...], H).reshape(Mp, cin)
-    srcs = _col_buffers(xp, Mp, W)
-    gp = _zero_embed(g_ref[...]).reshape(Mp, cout)
-    gshift = [_shift(gp, -(dy - 1) * W) for dy in range(3)]
-    for t, (dy, dx) in enumerate(TAPS):
-        dw_ref[t] += jax.lax.dot_general(
-            srcs[dx], gshift[dy],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-
-def _dw_call_rp(x, gy, interpret):
-    N, H, W, cin = x.shape
-    cout = gy.shape[-1]
-    ct = cout
-    while 9 * cin * ct * 4 > (5 << 20):
-        ct //= 2
-    g = _g_for((H + 2) * W, cin + cout, ct, x.dtype.itemsize, n_live=8,
-               temp_itemsize=4)
-    pad_n = (-N) % g
-    x = _pad_batch(x, pad_n)
-    gy = _pad_batch(gy, pad_n)
-    dw = pl.pallas_call(
-        functools.partial(_dw_kernel_rp, H=H, W=W, g=g),
-        grid=(cout // ct, (N + pad_n) // g),
-        in_specs=[
-            pl.BlockSpec((g, H, W, cin), lambda j, i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, H, W, ct), lambda j, i: (i, 0, 0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((9, cin, ct), lambda j, i: (0, 0, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((9, cin, cout), jnp.float32),
-        compiler_params=_COMPILER_PARAMS,
-        interpret=interpret,
-    )(x, gy)
-    return dw
-
-
-@jax.custom_vjp
-def reflect_conv3x3_rowpad(x: jax.Array, w: jax.Array) -> jax.Array:
-    """Row-padded-pitch variant of :func:`reflect_conv3x3` (same contract).
-
-    Requires H >= 4 on top of rconv_supported (the _unpad_rows concat).
-    Selected via VIDEOWALK_RCONV_ALGO=rowpad (trace time) in
-    ops/reflect_conv.py. Measured LOSER at every gating on v5e — see the
-    module note above the v3 section; kept parity-tested for future
-    hardware only.
-    """
-    w9 = w.reshape(9, w.shape[2], w.shape[3])
-    return _fwd_call_rp(x, w9, _should_interpret())
-
-
-def _vjp_fwd_rp(x, w):
-    w9 = w.reshape(9, w.shape[2], w.shape[3])
-    return _fwd_call_rp(x, w9, _should_interpret()), (x, w9)
-
-
-def _vjp_bwd_rp(res, g):
-    x, w9 = res
-    interpret = _should_interpret()
-    dx = _dx_call_rp(g, w9, x.shape[-1], interpret)
-    dw = _dw_call_rp(x, g, interpret).astype(w9.dtype)
-    return dx, dw.reshape(3, 3, w9.shape[1], w9.shape[2])
-
-
-reflect_conv3x3_rowpad.defvjp(_vjp_fwd_rp, _vjp_bwd_rp)
 
 
 # -------------------------------------------------------------- public op

@@ -79,18 +79,17 @@ class PadConv(nn.Module):
         if padding == "REFLECT_KERNEL":
             # fused Pallas reflect conv (ops/rconv_kernel.py): reflect
             # indexing in VMEM, no HBM pad copy, hand VJP.
-            # VIDEOWALK_RCONV_ALGO (trace time): flat (default) | rowpad
-            # (the v3 row-padded-pitch formulation — pure-roll taps at
-            # (H+2)/H extra matmul rows; see rconv_kernel.py module note).
-            from videowalk_tpu.ops.rconv_kernel import (
-                reflect_conv3x3, reflect_conv3x3_rowpad)
+            from videowalk_tpu.ops.rconv_kernel import reflect_conv3x3
 
             algo = os.environ.get("VIDEOWALK_RCONV_ALGO", "flat")
-            if algo == "rowpad":
-                return reflect_conv3x3_rowpad(xc, wc)
             if algo != "flat":
+                # 'rowpad' was a measured structural loser, deleted by the
+                # round-5 pruning policy (verdict in rconv_kernel.py's
+                # module docstring; code in git history)
                 raise ValueError(
-                    f"VIDEOWALK_RCONV_ALGO={algo!r}: want flat | rowpad")
+                    f"VIDEOWALK_RCONV_ALGO={algo!r}: only 'flat' exists "
+                    f"(rowpad was measured a loser and pruned; see "
+                    f"rconv_kernel.py docstring / git history)")
             return reflect_conv3x3(xc, wc)
         if padding == "RING_DOTS":
             y = self._plain_conv(xc, wc, [(1, 1), (1, 1)])
@@ -99,27 +98,15 @@ class PadConv(nn.Module):
         return self._plain_conv(xc, wc, pads)
 
     def _plain_conv(self, xc, wc, pads):
-        if (self.kernel == 3 and self.stride == 1
-                and xc.shape[-1] == 64 and self.features == 64
-                and xc.shape[0] % 2 == 0
-                and jax.default_backend() == "tpu"
-                and os.environ.get("VIDEOWALK_L1PACK", "") not in ("", "0")):
-            # VIDEOWALK_L1PACK (trace-time experiment): MEASURED LOSER on
-            # v5e (2026-08-19) — do not adopt. Hypothesis was that layer1's
-            # 64->64 convs half-fill the 128-lane MXU (K=N=64) and packing
-            # image PAIRS along channels with a block-diagonal kernel
-            # (K=N=128 at 2x nominal FLOPs) would recover fill. Both halves
-            # measured false: (a) isolated, the PLAIN 18x18x64 VALID
-            # fwd+bwd conv runs 0.83 ms at B=3136 — already at its ~0.9 ms
-            # analytic floor, so there is no MXU starvation to fix (the
-            # in-context "3.4 ms/conv" cost is the reflect-pad
-            # materialization fusions around the conv, not the matmul);
-            # (b) the packed path costs 5.42 ms isolated (concat/unpack
-            # copies + block-diagonal dW traffic) and 133.1 vs 124.9 ms on
-            # the full flagship step (tools/microbench_l1pack.py,
-            # tools/ab_flagship.py, 3 interleaved rounds). Kept env-gated
-            # and parity-tested as the measurement record.
-            return pair_packed_conv(xc, wc, pads)
+        # Pruned experiment (round 5; code in git history): VIDEOWALK_L1PACK
+        # packed image PAIRS along channels with a block-diagonal kernel to
+        # "fill" layer1's half-width K=N=64 matmuls. MEASURED LOSER on v5e
+        # (2026-08-19) and, more importantly, the measurement retired the
+        # MXU-starvation theory of layer1: the PLAIN 18x18x64 VALID fwd+bwd
+        # conv runs 0.83 ms at B=3136 — already at its ~0.9 ms analytic
+        # floor — so layer1's in-context cost is the reflect-pad
+        # materialization fusions AROUND the conv, not the matmul. Packed:
+        # 5.42 ms isolated, 133.1 vs 124.9 ms full-step. Do not rebuild.
         if self.kernel > 1 and jax.default_backend() == "cpu":
             # XLA:CPU executes small-spatial / high-channel convs through a
             # pathological path — measured 1.6 s for ONE (196,2,2,256)->512
@@ -142,29 +129,6 @@ class PadConv(nn.Module):
         return jax.lax.conv_general_dilated(
             xc, wc, window_strides=(self.stride, self.stride),
             padding=pads, dimension_numbers=("NHWC", "HWIO", "NHWC"))
-
-
-def pair_packed_conv(xc: jax.Array, wc: jax.Array, pads) -> jax.Array:
-    """Image-pair channel packing: conv NHWC x (K,K,C,C) at 2C MXU width.
-
-    Halves the batch, doubles Cin/Cout with a block-diagonal kernel, then
-    unpacks — the zero off-blocks contribute exact 0.0 products, so this is
-    the plain conv up to reduction-tree reassociation. Grad flows only to
-    the true (K,K,C,C) kernel (the zero blocks come from ``zeros_like``, a
-    constant whose cotangent is discarded). See the gate in
-    ``PadConv._plain_conv`` for the measured motivation.
-    """
-    half = xc.shape[0] // 2
-    c = xc.shape[-1]
-    xp = jnp.concatenate([xc[:half], xc[half:]], axis=-1)
-    z = jnp.zeros_like(wc)
-    wp = jnp.concatenate(
-        [jnp.concatenate([wc, z], axis=3),
-         jnp.concatenate([z, wc], axis=3)], axis=2)
-    yp = jax.lax.conv_general_dilated(
-        xp, wp, window_strides=(1, 1), padding=pads,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return jnp.concatenate([yp[..., :c], yp[..., c:]], axis=0)
 
 
 def _ring_dots_delta(x: jax.Array, w: jax.Array, y: jax.Array) -> jax.Array:
@@ -299,7 +263,8 @@ def reflect_conv2d(x: jax.Array, conv, kernel: int, stride: int,
         # the layer3 interiors (A/B'd full-step before any default change —
         # the layer4-conv1 widening trap in the module docstring).
         # VIDEOWALK_RCONV_ALLOW16=1 additionally admits 16x16 interiors
-        # (layer1) to the auto gate — the shape the rowpad algo targets;
+        # (layer1) to the auto gate — the shape the pruned rowpad algo
+        # targeted (rconv_kernel.py docstring);
         # keeps the interior-only and min_c constraints so an A/B can
         # widen one axis at a time.
         min_c = int(os.environ.get("VIDEOWALK_RCONV_MIN_C", "512"))

@@ -113,3 +113,133 @@ def test_supported_gate():
     assert not rconv_supported(8, 8, 7, 1, 3)    # stem
     assert not rconv_supported(4, 4, 3, 1, 1)    # too small for the fold
     assert not rconv_supported(64, 64, 3, 1, 1)  # VMEM-unfriendly, fallback
+
+
+def test_stats_variant_matches_oracle():
+    """reflect_conv3x3_stats: y parity plus exact per-channel moments
+    (including zero contribution from the internal batch padding — N=5
+    does not divide the block size), and gradients through a loss that
+    touches y, s1, AND s2 (the BN backward shape)."""
+    from videowalk_tpu.ops.rconv_kernel import reflect_conv3x3_stats
+
+    N, H, W, cin, cout = 5, 8, 8, 8, 16
+    x = _rand((N, H, W, cin), 12)
+    w = _rand((3, 3, cin, cout), 13) * 0.1
+    y, s1, s2 = reflect_conv3x3_stats(x, w)
+    yo = _oracle(x, w)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yo),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1),
+                               np.asarray(jnp.sum(yo, (0, 1, 2))),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s2),
+                               np.asarray(jnp.sum(yo ** 2, (0, 1, 2))),
+                               rtol=1e-5, atol=1e-4)
+
+    gy = _rand((N, H, W, cout), 14)
+    a1 = _rand((cout,), 15)
+    a2 = _rand((cout,), 16)
+
+    def loss_k(x, w):
+        y, s1, s2 = reflect_conv3x3_stats(x, w)
+        return jnp.sum(y * gy) + jnp.sum(s1 * a1) + jnp.sum(s2 * a2)
+
+    def loss_o(x, w):
+        y = _oracle(x, w)
+        return (jnp.sum(y * gy) + jnp.sum(jnp.sum(y, (0, 1, 2)) * a1)
+                + jnp.sum(jnp.sum(y ** 2, (0, 1, 2)) * a2))
+
+    dxk, dwk = jax.grad(loss_k, argnums=(0, 1))(x, w)
+    dxo, dwo = jax.grad(loss_o, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(dxk), np.asarray(dxo),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dwk), np.asarray(dwo),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_block_bn_fusion_matches_unfused(monkeypatch):
+    """Stacked reflect BasicBlocks in TRAIN mode: VIDEOWALK_BN_FUSE auto
+    (fused conv+stats kernel + FusedStatsBN) vs off (plain kernel + flax
+    BatchNorm) — same outputs, same parameter gradients, same UPDATED
+    batch_stats (the running-average semantics clone).
+
+    Deliberately NO stem/maxpool in the fixture: max_pool over relu's
+    exact zeros makes the backward DISCONTINUOUS (argmax ties flip under
+    1e-7 perturbations — measured: a 1e-7 input scaling moves the unfused
+    path's gradients by the same 0.3-2.3 the fused/unfused diff shows,
+    while a float64 oracle sits on the fused side), so any elementwise
+    gradient comparison through it is a knife-edge test of tie-breaking,
+    not of this fusion. Block-level backward is smooth away from relu
+    boundaries."""
+    import flax.linen as nn
+
+    from videowalk_tpu.models.resnet import BasicBlock
+
+    class TwoBlocks(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool):
+            x = BasicBlock(filters=16, padding_mode="reflect",
+                           name="b0")(x, train)
+            return BasicBlock(filters=16, padding_mode="reflect",
+                              name="b1")(x, train)
+
+    net = TwoBlocks()
+    x = _rand((4, 8, 8, 16), 21) * 0.5
+    monkeypatch.setenv("VIDEOWALK_RCONV", "on")
+    variables = net.init(jax.random.PRNGKey(0), x, train=False)
+    ct = _rand((4, 8, 8, 16), 22)
+
+    def run(mode):
+        monkeypatch.setenv("VIDEOWALK_BN_FUSE", mode)
+
+        def loss(params):
+            y, updates = net.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"])
+            return jnp.sum(y * ct), updates
+
+        (l, updates), grads = jax.value_and_grad(
+            loss, has_aux=True)(variables["params"])
+        return l, updates, grads
+
+    l_f, u_f, g_f = run("auto")
+    l_u, u_u, g_u = run("off")
+    np.testing.assert_allclose(float(l_f), float(l_u), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(u_f),
+                    jax.tree_util.tree_leaves(u_u)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                    jax.tree_util.tree_leaves(g_u)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_resnet_bn_fusion_forward_and_stats_match(monkeypatch):
+    """Full reflect ResNet-18 trunk in TRAIN mode, fused vs unfused:
+    outputs and updated batch_stats agree (gradients are compared at the
+    block level above — the stem maxpool makes full-net gradient
+    comparison discontinuous, see test_block_bn_fusion_matches_unfused)."""
+    from videowalk_tpu.models.resnet import resnet18
+
+    net = resnet18(padding_mode="reflect",
+                   remove_layers=("layer3", "layer4"))
+    x = _rand((2, 32, 32, 3), 21)
+    monkeypatch.setenv("VIDEOWALK_RCONV", "on")
+    variables = net.init(jax.random.PRNGKey(0), x, train=False)
+
+    def run(mode):
+        monkeypatch.setenv("VIDEOWALK_BN_FUSE", mode)
+        return net.apply(variables, x, train=True,
+                         mutable=["batch_stats"])
+
+    y_f, u_f = run("auto")
+    y_u, u_u = run("off")
+    # atol 5e-5: two stacked BNs rescale ~1e-7 moment reassociation noise
+    # by 1/std twice (observed max 1.6e-5 on one element of 4096)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_u),
+                               rtol=1e-3, atol=5e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(u_f),
+                    jax.tree_util.tree_leaves(u_u)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

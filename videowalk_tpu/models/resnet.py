@@ -71,6 +71,100 @@ def _batch_norm(x, train: bool, name: str, dtype=jnp.float32):
         momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=dtype, name=name)(x)
 
 
+class FusedStatsBN(nn.Module):
+    """Training-mode BatchNorm consuming precomputed batch moments.
+
+    Pairs with the Pallas reflect-conv's fused-stats mode
+    (ops/rconv_kernel.py::reflect_conv3x3_stats): the conv kernel reduces
+    ``s1 = sum(y)`` / ``s2 = sum(y*y)`` per channel in VMEM while the
+    activation is resident, so this module never re-reads the activation
+    for the reduction — only the elementwise normalize remains.
+
+    Exact clone of ``flax.linen.BatchNorm``'s training semantics on the
+    same cast values: f32 moments, fast-variance ``max(0, E[y^2]-E[y]^2)``
+    clip, ``momentum * ra + (1 - momentum) * batch`` running updates
+    (skipped at init), and ``(x - mean) * (rsqrt(var+eps) * scale) + bias``
+    in f32 cast back to ``dtype`` — flax's ``_normalize`` op order. Param /
+    variable names match ``nn.BatchNorm`` ("scale"/"bias" params,
+    batch_stats "mean"/"var"), so .pth checkpoint mapping
+    (utils/checkpoint.py) and the unfused eval path share state untouched.
+
+    Reference analogue: BN-after-every-conv in the torchvision BasicBlock
+    the reference builds on (/root/reference/code/resnet.py:8-9).
+    """
+
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, s1, s2, count: int):
+        feat = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32), (feat,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32), (feat,))
+        mean = s1 / count
+        var = jnp.maximum(0.0, s2 / count - mean * mean)
+        if not self.is_initializing():
+            ra_mean.value = (self.momentum * ra_mean.value
+                             + (1 - self.momentum) * mean)
+            ra_var.value = (self.momentum * ra_var.value
+                            + (1 - self.momentum) * var)
+        scale = self.param("scale", nn.initializers.ones, (feat,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,),
+                          jnp.float32)
+        mul = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = (x - mean) * mul + bias          # x promotes to f32 via mean
+        return jnp.asarray(y, self.dtype)
+
+
+def _bn_fuse_on() -> bool:
+    """VIDEOWALK_BN_FUSE: auto (default; fuse wherever the rconv kernel is
+    live) | off (A/B kill switch — the unfused XLA BN path). Trace-time."""
+    import os
+
+    return os.environ.get("VIDEOWALK_BN_FUSE", "auto") != "off"
+
+
+def _conv_bn(x, features: int, kernel: int, stride: int, padding: int,
+             padding_mode: str, conv_name: str, bn_name: str, train: bool,
+             dtype=jnp.float32):
+    """Conv + BatchNorm pair, fusing the BN moment reduction into the
+    Pallas reflect-conv kernel where that kernel is live.
+
+    Fusion conditions: train mode (eval BN uses running stats — no
+    reduction to fuse), reflect padding, the shared
+    ``rconv_kernel_routes`` gate (so the _STATS mode is requested exactly
+    where reflect_conv2d would pick the kernel anyway), and
+    VIDEOWALK_BN_FUSE != off. Everything else takes the standard
+    ``_pad_conv`` + ``_batch_norm`` path.
+
+    Multi-chip note: the fused moments are per-pallas-call sums; under a
+    sharded batch they would be per-shard, unlike flax BN's global-mean
+    SPMD semantics. The gate inherits rconv_kernel_routes's backend==tpu
+    condition, and the Pallas kernels are single-chip paths today (the
+    8-device mesh tests run the XLA path on CPU) — revisit together with
+    kernel sharding if multi-chip hardware lands.
+    """
+    from videowalk_tpu.ops.reflect_conv import PadConv, rconv_kernel_routes
+
+    fuse = (train and kernel == 3 and stride == 1 and padding == 1
+            and padding_mode == "reflect" and _bn_fuse_on()
+            and rconv_kernel_routes(x.shape[1], x.shape[2], x.shape[-1],
+                                    features, kernel, stride, padding))
+    if fuse:
+        conv = PadConv(features, kernel, stride, dtype=dtype, name=conv_name)
+        y, s1, s2 = conv(x, "REFLECT_KERNEL_STATS")
+        count = y.shape[0] * y.shape[1] * y.shape[2]
+        return FusedStatsBN(momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                            dtype=dtype, name=bn_name)(y, s1, s2, count)
+    y = _pad_conv(x, features, kernel, stride, padding, padding_mode,
+                  conv_name, dtype)
+    return _batch_norm(y, train, bn_name, dtype)
+
+
 class BasicBlock(nn.Module):
     """Two 3x3 convs + identity/projection shortcut (ResNet-18/34 block).
 
@@ -89,13 +183,11 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         residual = x
-        y = _pad_conv(x, self.filters, 3, self.stride, 1, self.padding_mode,
-                      "conv1", self.dtype)
-        y = _batch_norm(y, train, "bn1", self.dtype)
+        y = _conv_bn(x, self.filters, 3, self.stride, 1, self.padding_mode,
+                     "conv1", "bn1", train, self.dtype)
         y = nn.relu(y)
-        y = _pad_conv(y, self.filters, 3, 1, 1, self.padding_mode,
-                      "conv2", self.dtype)
-        y = _batch_norm(y, train, "bn2", self.dtype)
+        y = _conv_bn(y, self.filters, 3, 1, 1, self.padding_mode,
+                     "conv2", "bn2", train, self.dtype)
         if self.use_projection:
             residual = _pad_conv(x, self.filters, 1, self.stride, 0,
                                  self.padding_mode, "downsample_conv",
@@ -123,9 +215,8 @@ class Bottleneck(nn.Module):
                       "conv1", self.dtype)
         y = _batch_norm(y, train, "bn1", self.dtype)
         y = nn.relu(y)
-        y = _pad_conv(y, self.filters, 3, self.stride, 1, self.padding_mode,
-                      "conv2", self.dtype)
-        y = _batch_norm(y, train, "bn2", self.dtype)
+        y = _conv_bn(y, self.filters, 3, self.stride, 1, self.padding_mode,
+                     "conv2", "bn2", train, self.dtype)
         y = nn.relu(y)
         y = _pad_conv(y, self.filters * 4, 1, 1, 0, self.padding_mode,
                       "conv3", self.dtype)

@@ -262,6 +262,94 @@ def _fwd_call(x, w9, interpret):
     return y[:N]
 
 
+# ------------------------------------------- forward + fused BN statistics
+#
+# VERDICT r4 #1: the one mapped-but-unattacked cost bucket is the BN
+# stats/reduce fusions (20.5 ms of the 125 ms batch-8 step; 110.5 ms and
+# growing superlinearly at batch 32 — STATUS round-4 item 3: the stats
+# reductions stream the activation back FROM HBM instead of riding the conv
+# epilogue's hot VMEM). This variant emits the per-channel batch-norm
+# moments alongside the conv output while it is still in VMEM: one extra
+# revisited (8, Cout) f32 output holds [sum(y); sum(y*y)] accumulated
+# across batch blocks (rows 2..7 unused — sublane-tile padding). The
+# following BatchNorm then needs NO reduce over the activation
+# (models/resnet.py::FusedStatsBN consumes s1/s2 directly), eliminating one
+# full HBM read of the activation per fused BN.
+#
+# Exactness notes:
+# - moments are computed on the CAST output (yv = acc.astype(out_dtype)),
+#   matching flax's _compute_stats which promotes the stored bf16/f32
+#   activation to f32 (normalization.py): same rounding point, f32 sums.
+# - `_pad_batch`'s zero images contribute exactly 0 to both sums (the conv
+#   is linear and bias-free, and reflect rolls never read across image
+#   boundaries — module docstring), so no in-kernel batch masking is
+#   needed; the caller divides by the REAL N*H*W.
+# - the sums accumulate sequentially across the 1-D grid (same revisited-
+#   block pattern as the dW kernel), so they are deterministic.
+
+
+def _fwd_kernel_st(x_ref, w_ref, o_ref, st_ref, acc_ref, *, H, W, g):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        st_ref[...] = jnp.zeros_like(st_ref)
+
+    cin = x_ref.shape[-1]
+    cout = o_ref.shape[-1]
+    M = g * H * W
+    x2 = x_ref[...].reshape(M, cin)
+    masks = _edge_masks(M, H, W)
+    for t, (dy, dx) in enumerate(TAPS):
+        xt = _fixed_tap(x2, dy, dx, H, W, masks)
+        c = jnp.dot(xt, w_ref[t], preferred_element_type=jnp.float32)
+        if t == 0:
+            acc_ref[...] = c
+        else:
+            acc_ref[...] += c
+    yv = acc_ref[...].astype(o_ref.dtype)
+    o_ref[...] = yv.reshape(g, H, W, cout)
+    yf = yv.astype(jnp.float32)
+    s1 = jnp.sum(yf, axis=0, keepdims=True)
+    s2 = jnp.sum(yf * yf, axis=0, keepdims=True)
+    st_ref[...] += jnp.concatenate(
+        [s1, s2, jnp.zeros((6, cout), jnp.float32)], axis=0)
+
+
+def _fwd_call_st(x, w9, interpret):
+    N, H, W, cin = x.shape
+    cout = w9.shape[-1]
+    # n_live=11: the 9-tap roll/select chain plus the f32 yf copy the
+    # moment sums read (2 input-dtype units at bf16)
+    g = _g_for(H * W, cin, cout, x.dtype.itemsize, n_live=11)
+    pad_n = (-N) % g
+    x = _pad_batch(x, pad_n)
+    y, st = pl.pallas_call(
+        functools.partial(_fwd_kernel_st, H=H, W=W, g=g),
+        grid=((N + pad_n) // g,),
+        in_specs=[
+            pl.BlockSpec((g, H, W, cin), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, cin, cout), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((g, H, W, cout), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, cout), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N + pad_n, H, W, cout), x.dtype),
+            jax.ShapeDtypeStruct((8, cout), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((g * H * W, cout), jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(x, w9)
+    return y[:N], st
+
+
 # ----------------------------------------------------------------- backward
 
 
@@ -403,6 +491,51 @@ def _vjp_bwd(res, g):
 
 
 reflect_conv3x3.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+@jax.custom_vjp
+def reflect_conv3x3_stats(x: jax.Array, w: jax.Array):
+    """:func:`reflect_conv3x3` plus fused batch-norm moments.
+
+    Returns ``(y, s1, s2)`` where ``s1[c] = sum(y[..., c])`` and
+    ``s2[c] = sum(y[..., c]**2)`` over all N*H*W positions, reduced in f32
+    in VMEM while the conv output is still resident (see the module note
+    above ``_fwd_kernel_st``). The following BatchNorm computes
+    mean = s1/count, var = max(0, s2/count - mean^2) with count = N*H*W —
+    flax's fast-variance formula on the same cast values — without ever
+    re-reading ``y`` from HBM for the reduction.
+
+    The VJP folds the moment cotangents into the conv cotangent
+    (d(s1)/dy = 1, d(s2)/dy = 2y -> gy_eff = gy + gs1 + 2*y*gs2, one XLA
+    elementwise fusion over arrays the BN backward touches anyway) and
+    reuses the plain kernel's dx/dW passes.
+    """
+    w9 = w.reshape(9, w.shape[2], w.shape[3])
+    y, st = _fwd_call_st(x, w9, _should_interpret())
+    return y, st[0], st[1]
+
+
+def _vjp_fwd_st(x, w):
+    w9 = w.reshape(9, w.shape[2], w.shape[3])
+    y, st = _fwd_call_st(x, w9, _should_interpret())
+    # y is also a residual of the consuming BN's normalize, so saving it
+    # here costs no extra HBM (one buffer, two jaxpr uses)
+    return (y, st[0], st[1]), (x, w9, y)
+
+
+def _vjp_bwd_st(res, cts):
+    x, w9, y = res
+    gy, gs1, gs2 = cts
+    gy_eff = (gy.astype(jnp.float32) + gs1[None, None, None, :]
+              + 2.0 * y.astype(jnp.float32) * gs2[None, None, None, :])
+    gy_eff = gy_eff.astype(gy.dtype)
+    interpret = _should_interpret()
+    dx = _dx_call(gy_eff, w9, x.shape[-1], interpret)
+    dw = _dw_call(x, gy_eff, interpret).astype(w9.dtype)
+    return dx, dw.reshape(3, 3, w9.shape[1], w9.shape[2])
+
+
+reflect_conv3x3_stats.defvjp(_vjp_fwd_st, _vjp_bwd_st)
 
 
 def rconv_supported(H: int, W: int, kernel: int, stride: int,

@@ -76,10 +76,14 @@ class PadConv(nn.Module):
             (self.kernel, self.kernel, x.shape[-1], self.features),
             jnp.float32)
         xc, wc = x.astype(self.dtype), w.astype(self.dtype)
-        if padding == "REFLECT_KERNEL":
+        if padding in ("REFLECT_KERNEL", "REFLECT_KERNEL_STATS"):
             # fused Pallas reflect conv (ops/rconv_kernel.py): reflect
-            # indexing in VMEM, no HBM pad copy, hand VJP.
-            from videowalk_tpu.ops.rconv_kernel import reflect_conv3x3
+            # indexing in VMEM, no HBM pad copy, hand VJP. The _STATS mode
+            # additionally returns the per-channel BN moments (y, s1, s2)
+            # reduced in VMEM — callers gate it on rconv_kernel_routes so
+            # it can only be requested where the kernel path is live.
+            from videowalk_tpu.ops.rconv_kernel import (reflect_conv3x3,
+                                                        reflect_conv3x3_stats)
 
             algo = os.environ.get("VIDEOWALK_RCONV_ALGO", "flat")
             if algo != "flat":
@@ -90,6 +94,8 @@ class PadConv(nn.Module):
                     f"VIDEOWALK_RCONV_ALGO={algo!r}: only 'flat' exists "
                     f"(rowpad was measured a loser and pruned; see "
                     f"rconv_kernel.py docstring / git history)")
+            if padding == "REFLECT_KERNEL_STATS":
+                return reflect_conv3x3_stats(xc, wc)
             return reflect_conv3x3(xc, wc)
         if padding == "RING_DOTS":
             y = self._plain_conv(xc, wc, [(1, 1), (1, 1)])
@@ -227,6 +233,52 @@ def _pad_to(d: jax.Array, h_out: int, w_out: int, row0: int,
                        (col0, w_out - col0 - d.shape[2]), (0, 0)))
 
 
+def rconv_kernel_routes(H: int, W: int, C: int, features: int,
+                        kernel: int = 3, stride: int = 1,
+                        pad: int = 1) -> bool:
+    """True iff :func:`reflect_conv2d` routes this conv geometry through the
+    Pallas kernel under the CURRENT env gates (trace-time decision).
+
+    Shared with the BN-stats fusion gate in ``models/resnet.py`` so the two
+    decisions can never disagree (the _STATS PadConv mode is only valid
+    where the kernel path is live).
+
+    VIDEOWALK_RCONV: auto (default) | on | off. The fused Pallas reflect
+    conv (ops/rconv_kernel.py) is exact everywhere it claims support
+    (tests/test_rconv_kernel.py), but only WINS on the deep high-channel
+    shapes — per-conv fwd+bwd at the flagship batch (v5e, 2026-08-17):
+    8x8x512 kernel 17.3 vs fallback 19.5 ms; 8x8x256 5.3 vs 5.0;
+    8x8x128 1.9 vs 1.1; 16x16x64 9.4 vs 3.4 (the low-C taps are 9
+    MXU-starved K=64 matmuls). ``auto`` therefore routes only the
+    measured-winning shapes (8x8, Cin >= 512 — layer4 interior, ~60% of
+    the reflect-vs-zeros gap) through the kernel, on TPU only; ``on``
+    forces it for every supported shape.
+
+    VIDEOWALK_RCONV_MIN_C: auto-gate channel floor. 512 = the measured-
+    winning layer4 interiors; 256 would add the layer3 interiors (A/B'd
+    full-step before any default change — the layer4-conv1 widening trap
+    in rconv_kernel.py's docstring). VIDEOWALK_RCONV_ALLOW16=1 additionally
+    admits 16x16 interiors (layer1); keeps the interior-only and min_c
+    constraints so an A/B can widen one axis at a time.
+    """
+    rmode = os.environ.get("VIDEOWALK_RCONV", "auto")
+    if rmode not in ("on", "auto"):
+        return False
+    from videowalk_tpu.ops.rconv_kernel import rconv_supported
+
+    if not rconv_supported(H, W, kernel, stride, pad):
+        return False
+    if rmode == "on":
+        return True
+    min_c = int(os.environ.get("VIDEOWALK_RCONV_MIN_C", "512"))
+    allow16 = os.environ.get("VIDEOWALK_RCONV_ALLOW16", "") not in ("", "0")
+    shape_ok = (H == 8 and W == 8) or (allow16 and H == 16 and W == 16)
+    # interior convs only (C == features): the channel-changing first convs
+    # measured as full-step regressions even when winning in isolation
+    return (shape_ok and C >= min_c and C == features
+            and jax.default_backend() == "tpu")
+
+
 def reflect_conv2d(x: jax.Array, conv, kernel: int, stride: int,
                    pad: int) -> jax.Array:
     """Reflect-padded conv via zero-SAME conv + additive ring corrections.
@@ -244,40 +296,8 @@ def reflect_conv2d(x: jax.Array, conv, kernel: int, stride: int,
     if pad == 0:
         return conv(x, "VALID")
     B, H, W, C = x.shape
-    # VIDEOWALK_RCONV: auto (default) | on | off. The fused Pallas reflect
-    # conv (ops/rconv_kernel.py) is exact everywhere it claims support
-    # (tests/test_rconv_kernel.py), but only WINS on the deep high-channel
-    # shapes — per-conv fwd+bwd at the flagship batch (v5e, 2026-08-17):
-    # 8x8x512 kernel 17.3 vs fallback 19.5 ms; 8x8x256 5.3 vs 5.0;
-    # 8x8x128 1.9 vs 1.1; 16x16x64 9.4 vs 3.4 (the low-C taps are 9
-    # MXU-starved K=64 matmuls). ``auto`` therefore routes only the
-    # measured-winning shapes (8x8, Cin >= 512 — layer4 interior, ~60% of
-    # the reflect-vs-zeros gap) through the kernel, on TPU only; ``on``
-    # forces it for every supported shape.
-    rmode = os.environ.get("VIDEOWALK_RCONV", "auto")
-    if rmode in ("on", "auto"):
-        from videowalk_tpu.ops.rconv_kernel import rconv_supported
-
-        # VIDEOWALK_RCONV_MIN_C: auto-gate channel floor (read at trace
-        # time). 512 = the measured-winning layer4 interiors; 256 would add
-        # the layer3 interiors (A/B'd full-step before any default change —
-        # the layer4-conv1 widening trap in the module docstring).
-        # VIDEOWALK_RCONV_ALLOW16=1 additionally admits 16x16 interiors
-        # (layer1) to the auto gate — the shape the pruned rowpad algo
-        # targeted (rconv_kernel.py docstring);
-        # keeps the interior-only and min_c constraints so an A/B can
-        # widen one axis at a time.
-        min_c = int(os.environ.get("VIDEOWALK_RCONV_MIN_C", "512"))
-        allow16 = os.environ.get("VIDEOWALK_RCONV_ALLOW16", "") not in ("", "0")
-        shape_ok = (H == 8 and W == 8) or (allow16 and H == 16 and W == 16)
-        if rconv_supported(H, W, kernel, stride, pad) and (
-                rmode == "on"
-                or (shape_ok and C >= min_c
-                    and C == conv.features  # interior convs only: the
-                    # channel-changing first convs measured as full-step
-                    # regressions even when winning in isolation
-                    and jax.default_backend() == "tpu")):
-            return conv(x, "REFLECT_KERNEL")
+    if rconv_kernel_routes(H, W, C, conv.features, kernel, stride, pad):
+        return conv(x, "REFLECT_KERNEL")
     fuse = _fuse_mode()
     if fuse == "dots" and kernel == 3 and stride == 1 and pad == 1 \
             and H >= 2 and W >= 2:

@@ -238,3 +238,16 @@ def test_auto_topk_form_gates_single_tile_melt_shapes():
     assert _auto_topk_form(16, 16, 8, r12, 3, 1, 10) is None
     # real DAVIS-480p geometry is far from single-tile -> default
     assert _auto_topk_form(60, 107, 8, r12, 21, 1, 10) is None
+    # intermediate geometries (ADVICE r4: the residual risk is UNTESTED
+    # in-between shapes, not the gate itself):
+    # 1xN strip grids: single tile along H only -> not single-tile, default
+    assert _auto_topk_form(8, 16, 8, r12, 3, 1, 10) is None
+    assert _auto_topk_form(16, 8, 8, r12, 3, 1, 10) is None
+    # single-tile but JUST under the k*CW cost bound -> default
+    assert _auto_topk_form(8, 8, 8, r6, 3, 1, 7) is None
+    # deeper context widens CW past the bound even at K=5 -> loop
+    assert _auto_topk_form(8, 8, 8, r12, 20, 3, 5) == "loop"
+    # tile-16 single-tile melt scale (the measured tile-16 compile melt
+    # needed the loop form too) -> loop
+    r12_16 = sparse_halo(12.0, 16)
+    assert _auto_topk_form(16, 16, 16, r12_16, 3, 1, 10) == "loop"

@@ -202,17 +202,24 @@ def test_block_bn_fusion_matches_unfused(monkeypatch):
             loss, has_aux=True)(variables["params"])
         return l, updates, grads
 
-    l_f, u_f, g_f = run("auto")
+    # three modes: auto = moment fold + input-affine/relu chain fold
+    # (BNAffine + reflect_conv3x3_bnin_stats), stats = moment fold only,
+    # off = flax BatchNorm throughout. All must agree.
+    l_c, u_c, g_c = run("auto")
+    l_f, u_f, g_f = run("stats")
     l_u, u_u, g_u = run("off")
+    np.testing.assert_allclose(float(l_c), float(l_u), rtol=1e-5)
     np.testing.assert_allclose(float(l_f), float(l_u), rtol=1e-5)
-    for a, b in zip(jax.tree_util.tree_leaves(u_f),
-                    jax.tree_util.tree_leaves(u_u)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-5)
-    for a, b in zip(jax.tree_util.tree_leaves(g_f),
-                    jax.tree_util.tree_leaves(g_u)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-3, atol=1e-3)
+    for tree_a, tree_b in ((u_c, u_u), (u_f, u_u)):
+        for a, b in zip(jax.tree_util.tree_leaves(tree_a),
+                        jax.tree_util.tree_leaves(tree_b)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+    for tree_a, tree_b in ((g_c, g_u), (g_f, g_u)):
+        for a, b in zip(jax.tree_util.tree_leaves(tree_a),
+                        jax.tree_util.tree_leaves(tree_b)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-3)
 
 
 def test_resnet_bn_fusion_forward_and_stats_match(monkeypatch):
@@ -243,3 +250,51 @@ def test_resnet_bn_fusion_forward_and_stats_match(monkeypatch):
                     jax.tree_util.tree_leaves(u_u)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_bnin_stats_variant_matches_oracle():
+    """reflect_conv3x3_bnin_stats: conv of relu(a*x+b) with fused moments —
+    forward, moments (pad-image masking exercised: N=5 pads with zero
+    images whose xn = relu(b) != 0 must NOT contaminate the sums), and
+    gradients w.r.t. x, a, b, AND w through a loss touching y, s1, s2."""
+    from videowalk_tpu.ops.rconv_kernel import reflect_conv3x3_bnin_stats
+
+    N, H, W, cin, cout = 5, 8, 8, 8, 16
+    x = _rand((N, H, W, cin), 30)
+    a = jnp.abs(_rand((cin,), 31)) + 0.5
+    b = _rand((cin,), 32) * 0.3
+    w = _rand((3, 3, cin, cout), 33) * 0.1
+
+    def oracle(x, a, b, w):
+        xn = jax.nn.relu(x * a + b)
+        return _oracle(xn, w)
+
+    y, s1, s2 = reflect_conv3x3_bnin_stats(x, a, b, w)
+    yo = oracle(x, a, b, w)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yo),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1),
+                               np.asarray(jnp.sum(yo, (0, 1, 2))),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s2),
+                               np.asarray(jnp.sum(yo ** 2, (0, 1, 2))),
+                               rtol=1e-5, atol=1e-4)
+
+    gy = _rand((N, H, W, cout), 34)
+    c1 = _rand((cout,), 35)
+    c2 = _rand((cout,), 36)
+
+    def loss_k(x, a, b, w):
+        y, s1, s2 = reflect_conv3x3_bnin_stats(x, a, b, w)
+        return jnp.sum(y * gy) + jnp.sum(s1 * c1) + jnp.sum(s2 * c2)
+
+    def loss_o(x, a, b, w):
+        y = oracle(x, a, b, w)
+        return (jnp.sum(y * gy) + jnp.sum(jnp.sum(y, (0, 1, 2)) * c1)
+                + jnp.sum(jnp.sum(y ** 2, (0, 1, 2)) * c2))
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3))(x, a, b, w)
+    go = jax.grad(loss_o, argnums=(0, 1, 2, 3))(x, a, b, w)
+    for name, kk, oo in zip(("dx", "da", "db", "dw"), gk, go):
+        np.testing.assert_allclose(np.asarray(kk), np.asarray(oo),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)

@@ -120,12 +120,93 @@ class FusedStatsBN(nn.Module):
         return jnp.asarray(y, self.dtype)
 
 
-def _bn_fuse_on() -> bool:
-    """VIDEOWALK_BN_FUSE: auto (default; fuse wherever the rconv kernel is
-    live) | off (A/B kill switch — the unfused XLA BN path). Trace-time."""
+class BNAffine(nn.Module):
+    """Train-mode BatchNorm reduced to its per-channel affine ``(a, b)``.
+
+    The normalize ``(y - mean) * rsqrt(var+eps) * scale + bias`` is
+    ``a*y + b`` with ``a = scale * rsqrt(var+eps)``, ``b = bias - mean*a``;
+    this module computes the batch moments (from fused kernel moments when
+    given, else a flax-formula XLA reduce), updates the running statistics
+    exactly like ``nn.BatchNorm`` (same param/variable names — .pth mapping
+    and the eval path share state untouched), and returns ``(a, b)`` f32 so
+    the CONSUMER applies normalize(+relu) inside its own kernel
+    (ops/rconv_kernel.py::reflect_conv3x3_bnin_stats): the normalized
+    activation never exists in HBM. BN parameter/statistic gradients come
+    from jax autodiff of these two per-channel scalars.
+    """
+
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+
+    @nn.compact
+    def __call__(self, y, moments=None):
+        feat = y.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32), (feat,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32), (feat,))
+        count = y.shape[0] * y.shape[1] * y.shape[2]
+        if moments is not None:
+            s1, s2 = moments
+            mean = s1 / count
+            var = jnp.maximum(0.0, s2 / count - mean * mean)
+        else:
+            yf = y.astype(jnp.float32)
+            mean = jnp.mean(yf, (0, 1, 2))
+            var = jnp.maximum(0.0, jnp.mean(yf * yf, (0, 1, 2))
+                              - mean * mean)
+        if not self.is_initializing():
+            ra_mean.value = (self.momentum * ra_mean.value
+                             + (1 - self.momentum) * mean)
+            ra_var.value = (self.momentum * ra_var.value
+                            + (1 - self.momentum) * var)
+        scale = self.param("scale", nn.initializers.ones, (feat,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,),
+                          jnp.float32)
+        a = jax.lax.rsqrt(var + self.epsilon) * scale
+        return a, bias - mean * a
+
+
+def _bn_fuse_mode() -> str:
+    """VIDEOWALK_BN_FUSE: auto (default; moment fold + input-affine fold
+    wherever the rconv kernel is live) | stats (moment fold only — phase-1
+    A/B point) | off (A/B kill switch — the unfused XLA BN path).
+    Trace-time."""
     import os
 
-    return os.environ.get("VIDEOWALK_BN_FUSE", "auto") != "off"
+    mode = os.environ.get("VIDEOWALK_BN_FUSE", "auto")
+    if mode not in ("auto", "stats", "off"):
+        raise ValueError(
+            f"VIDEOWALK_BN_FUSE={mode!r}: want auto | stats | off")
+    return mode
+
+
+def _bn_fuse_on() -> bool:
+    return _bn_fuse_mode() != "off"
+
+
+def _conv_moments(x, features: int, kernel: int, stride: int, padding: int,
+                  padding_mode: str, conv_name: str, train: bool,
+                  dtype=jnp.float32):
+    """Raw conv output + optional fused batch moments.
+
+    The kernel-with-stats path when the Pallas kernel is live for THIS
+    conv's geometry; otherwise the plain conv with ``moments=None`` (the
+    consumer's BNAffine reduces via XLA — the input-affine fold downstream
+    still removes the normalize write+read)."""
+    from videowalk_tpu.ops.reflect_conv import PadConv, rconv_kernel_routes
+
+    if (kernel == 3 and stride == 1 and padding == 1
+            and padding_mode == "reflect"
+            and rconv_kernel_routes(x.shape[1], x.shape[2], x.shape[-1],
+                                    features, kernel, stride, padding)):
+        conv = PadConv(features, kernel, stride, dtype=dtype, name=conv_name)
+        y, s1, s2 = conv(x, "REFLECT_KERNEL_STATS")
+        return y, (s1, s2)
+    y = _pad_conv(x, features, kernel, stride, padding, padding_mode,
+                  conv_name, dtype)
+    return y, None
 
 
 def _conv_bn(x, features: int, kernel: int, stride: int, padding: int,
@@ -183,11 +264,40 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         residual = x
-        y = _conv_bn(x, self.filters, 3, self.stride, 1, self.padding_mode,
-                     "conv1", "bn1", train, self.dtype)
-        y = nn.relu(y)
-        y = _conv_bn(y, self.filters, 3, 1, 1, self.padding_mode,
-                     "conv2", "bn2", train, self.dtype)
+        # Fused conv1->bn1->relu->conv2->bn2 chain (train, reflect, conv2
+        # kernel-routed, VIDEOWALK_BN_FUSE=auto): conv1's RAW output flows
+        # straight into conv2's kernel, which applies bn1's affine + relu
+        # in VMEM (reflect_conv3x3_bnin_stats) — the normalized activation
+        # never exists in HBM — and emits bn2's moments for free.
+        h2 = (x.shape[1] + 2 - 3) // self.stride + 1
+        w2 = (x.shape[2] + 2 - 3) // self.stride + 1
+        from videowalk_tpu.ops.reflect_conv import (PadConv,
+                                                    rconv_kernel_routes)
+
+        chain = (train and self.padding_mode == "reflect"
+                 and _bn_fuse_mode() == "auto"
+                 and rconv_kernel_routes(h2, w2, self.filters,
+                                         self.filters, 3, 1, 1))
+        if chain:
+            y1, moments = _conv_moments(
+                x, self.filters, 3, self.stride, 1, self.padding_mode,
+                "conv1", train, self.dtype)
+            a1, b1 = BNAffine(momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                              name="bn1")(y1, moments)
+            conv2 = PadConv(self.filters, 3, 1, dtype=self.dtype,
+                            name="conv2")
+            y, s1, s2 = conv2(y1, "REFLECT_KERNEL_BNIN_STATS",
+                              bn_affine=(a1, b1))
+            count = y.shape[0] * y.shape[1] * y.shape[2]
+            y = FusedStatsBN(momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                             dtype=self.dtype, name="bn2")(y, s1, s2, count)
+        else:
+            y = _conv_bn(x, self.filters, 3, self.stride, 1,
+                         self.padding_mode, "conv1", "bn1", train,
+                         self.dtype)
+            y = nn.relu(y)
+            y = _conv_bn(y, self.filters, 3, 1, 1, self.padding_mode,
+                         "conv2", "bn2", train, self.dtype)
         if self.use_projection:
             residual = _pad_conv(x, self.filters, 1, self.stride, 0,
                                  self.padding_mode, "downsample_conv",

@@ -350,6 +350,257 @@ def _fwd_call_st(x, w9, interpret):
     return y[:N], st
 
 
+# -------------------------------------- forward + input BN-affine epilogue
+#
+# Phase 2 of the VERDICT r4 #1 attack ("and ideally the ReLU/residual
+# epilogue"): when this kernel's INPUT is relu(BN(prev_conv_out)) — the
+# conv1->bn1->relu->conv2 chain inside every block — the BN normalize in
+# train mode is an affine a*x + b with per-channel
+#   a = scale * rsqrt(var + eps),   b = bias - mean * a
+# so the kernel can apply relu(a*x + b) to its input block IN VMEM and the
+# normalized activation never exists in HBM at all: the separate
+# normalize+relu elementwise fusion (read raw + write normed) and the
+# conv's read of the normed tensor collapse into the conv's own read of
+# the RAW activation. models/resnet.py::BNAffine produces (a, b) (flax
+# semantics, running stats updated) and the raw activation flows straight
+# from the previous conv into this one.
+#
+# Exactness: flax computes the normalize in f32 and casts to the compute
+# dtype, then relu — max(cast(ax+b), 0) == cast(max(ax+b, 0)) for any
+# monotone rounding that preserves 0 (bf16/f32 do), so computing
+# relu-in-f32 then casting matches the unfused chain bit-for-bit at the
+# rounding points. The batch-moment outputs are masked against
+# ``_pad_batch``'s zero images (relu(b) makes their xn nonzero, unlike the
+# plain variants), using the static real batch size; the garbage pad-image
+# OUTPUT rows are discarded by the same [:N] slice as always, and the
+# backward needs no masking at all: the incoming cotangent's pad rows are
+# zero and every roll/select leg stays within its image (module note), so
+# dxn, da, db, and dW see exact zeros from pad images.
+#
+# VJP: xn = relu(a*x + b) gives dx = a * (xn > 0) * dxn with dxn the plain
+# kernel's select-chain transpose — folded into the dx kernel (x, a, b
+# ride along as inputs; the relu mask is recomputed in VMEM) — and
+#   da[c] = sum_p dxn[p,c] * relu'[p,c] * x[p,c]
+#   db[c] = sum_p dxn[p,c] * relu'[p,c]
+# accumulated through a revisited (8, Cin) f32 output exactly like the
+# moment rows. The dW kernel rebuilds the xn tap views from the raw block
+# (one extra fused elementwise transform per block, zero extra HBM). The
+# (a, b) -> (scale, bias, mean, var) chain stays at the jax level, so BN's
+# parameter/statistic gradients come from autodiff of two per-channel
+# scalars — no custom math outside the kernel.
+
+
+def _bnin(x2, ab_ref):
+    """relu(a*x + b) on the flat block, f32 math, cast back to x's dtype."""
+    a = ab_ref[0:1, :]
+    b = ab_ref[1:2, :]
+    xf = x2.astype(jnp.float32)
+    return jnp.maximum(xf * a + b, 0.0).astype(x2.dtype)
+
+
+def _fwd_kernel_bnin_st(x_ref, ab_ref, w_ref, o_ref, st_ref, acc_ref, *,
+                        H, W, g, n_real):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        st_ref[...] = jnp.zeros_like(st_ref)
+
+    cin = x_ref.shape[-1]
+    cout = o_ref.shape[-1]
+    M = g * H * W
+    xn = _bnin(x_ref[...].reshape(M, cin), ab_ref)
+    masks = _edge_masks(M, H, W)
+    for t, (dy, dx) in enumerate(TAPS):
+        xt = _fixed_tap(xn, dy, dx, H, W, masks)
+        c = jnp.dot(xt, w_ref[t], preferred_element_type=jnp.float32)
+        if t == 0:
+            acc_ref[...] = c
+        else:
+            acc_ref[...] += c
+    yv = acc_ref[...].astype(o_ref.dtype)
+    o_ref[...] = yv.reshape(g, H, W, cout)
+    # batch moments of the CAST output, pad images masked out (their xn is
+    # relu(b) != 0, so unlike the plain variants their y is garbage)
+    p = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
+    img = i * g + (p >> ((H * W).bit_length() - 1))
+    yf = jnp.where(img < n_real, yv.astype(jnp.float32), 0.0)
+    s1 = jnp.sum(yf, axis=0, keepdims=True)
+    s2 = jnp.sum(yf * yf, axis=0, keepdims=True)
+    st_ref[...] += jnp.concatenate(
+        [s1, s2, jnp.zeros((6, cout), jnp.float32)], axis=0)
+
+
+def _pack_ab(a, b, cin):
+    ab = jnp.zeros((8, cin), jnp.float32)
+    ab = ab.at[0].set(a.astype(jnp.float32))
+    return ab.at[1].set(b.astype(jnp.float32))
+
+
+def _fwd_call_bnin_st(x, a, b, w9, interpret):
+    N, H, W, cin = x.shape
+    cout = w9.shape[-1]
+    g = _g_for(H * W, cin, cout, x.dtype.itemsize, n_live=13)
+    pad_n = (-N) % g
+    x = _pad_batch(x, pad_n)
+    y, st = pl.pallas_call(
+        functools.partial(_fwd_kernel_bnin_st, H=H, W=W, g=g, n_real=N),
+        grid=((N + pad_n) // g,),
+        in_specs=[
+            pl.BlockSpec((g, H, W, cin), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, cin), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, cin, cout), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((g, H, W, cout), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, cout), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N + pad_n, H, W, cout), x.dtype),
+            jax.ShapeDtypeStruct((8, cout), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((g * H * W, cout), jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(x, _pack_ab(a, b, cin), w9)
+    return y[:N], st
+
+
+def _dx_kernel_bnin(g_ref, x_ref, ab_ref, wt_ref, o_ref, dab_ref, acc_ref,
+                    *, H, W, g):
+    """dx = a * relu' * (select-chain transpose of g); da/db accumulate
+    through the revisited (8, Cin) output (rows [da; db])."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dab_ref[...] = jnp.zeros_like(dab_ref)
+
+    cout = g_ref.shape[-1]
+    cin = o_ref.shape[-1]
+    M = g * H * W
+    g2 = g_ref[...].reshape(M, cout)
+    masks = _edge_masks(M, H, W)
+    first = True
+    for t, (dy, dx) in enumerate(TAPS):
+        c = jnp.dot(g2, wt_ref[t], preferred_element_type=jnp.float32)
+        legs_m = _leg_masks(dy, dx, masks)
+        legs_o = _leg_offsets(dy, dx, W)
+        for (_, m), o in zip(legs_m, legs_o):
+            term = c if m is None else jnp.where(m, c, 0.0)
+            term = jnp.roll(term, o, axis=0) if o else term
+            if first:
+                acc_ref[...] = term
+                first = False
+            else:
+                acc_ref[...] += term
+    a = ab_ref[0:1, :]
+    b = ab_ref[1:2, :]
+    xf = x_ref[...].reshape(M, cin).astype(jnp.float32)
+    relu_g = jnp.where(xf * a + b > 0.0, 1.0, 0.0)
+    dxn = acc_ref[...] * relu_g          # dxn gated by relu'
+    o_ref[...] = (dxn * a).reshape(g, H, W, cin).astype(o_ref.dtype)
+    da = jnp.sum(dxn * xf, axis=0, keepdims=True)
+    db = jnp.sum(dxn, axis=0, keepdims=True)
+    dab_ref[...] += jnp.concatenate(
+        [da, db, jnp.zeros((6, cin), jnp.float32)], axis=0)
+
+
+def _dx_call_bnin(gy, x, a, b, w9, interpret):
+    N, H, W, cout = gy.shape
+    cin = x.shape[-1]
+    wt = jnp.swapaxes(w9, 1, 2)
+    g = _g_for(H * W, max(cout, cin), cin, gy.dtype.itemsize, n_live=23,
+               temp_itemsize=4)
+    pad_n = (-N) % g
+    gy = _pad_batch(gy, pad_n)
+    x = _pad_batch(x, pad_n)
+    dx, dab = pl.pallas_call(
+        functools.partial(_dx_kernel_bnin, H=H, W=W, g=g),
+        grid=((N + pad_n) // g,),
+        in_specs=[
+            pl.BlockSpec((g, H, W, cout), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, H, W, cin), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, cin), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, cout, cin), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((g, H, W, cin), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, cin), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N + pad_n, H, W, cin), gy.dtype),
+            jax.ShapeDtypeStruct((8, cin), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((g * H * W, cin), jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(gy, x, _pack_ab(a, b, cin), wt)
+    return dx[:N], dab[0], dab[1]
+
+
+def _dw_kernel_bnin(x_ref, ab_ref, g_ref, dw_ref, *, H, W, g):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    cin = x_ref.shape[-1]
+    cout = g_ref.shape[-1]
+    M = g * H * W
+    xn = _bnin(x_ref[...].reshape(M, cin), ab_ref)
+    gm = g_ref[...].reshape(M, cout)
+    masks = _edge_masks(M, H, W)
+    for t, (dy, dx) in enumerate(TAPS):
+        xt = _fixed_tap(xn, dy, dx, H, W, masks)
+        dw_ref[t] += jax.lax.dot_general(
+            xt, gm, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def _dw_call_bnin(x, a, b, gy, interpret):
+    N, H, W, cin = x.shape
+    cout = gy.shape[-1]
+    ct = cout
+    while 9 * cin * ct * 4 > (5 << 20):
+        ct //= 2
+    g = _g_for(H * W, cin + cout, ct, x.dtype.itemsize, n_live=14,
+               temp_itemsize=4)
+    pad_n = (-N) % g
+    x = _pad_batch(x, pad_n)
+    gy = _pad_batch(gy, pad_n)
+    dw = pl.pallas_call(
+        functools.partial(_dw_kernel_bnin, H=H, W=W, g=g),
+        grid=(cout // ct, (N + pad_n) // g),
+        in_specs=[
+            pl.BlockSpec((g, H, W, cin), lambda j, i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, cin), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, H, W, ct), lambda j, i: (i, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((9, cin, ct), lambda j, i: (0, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((9, cin, cout), jnp.float32),
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(x, _pack_ab(a, b, cin), gy)
+    return dw
+
+
 # ----------------------------------------------------------------- backward
 
 
@@ -536,6 +787,46 @@ def _vjp_bwd_st(res, cts):
 
 
 reflect_conv3x3_stats.defvjp(_vjp_fwd_st, _vjp_bwd_st)
+
+
+@jax.custom_vjp
+def reflect_conv3x3_bnin_stats(x: jax.Array, a: jax.Array, b: jax.Array,
+                               w: jax.Array):
+    """Reflect conv of ``relu(a*x + b)`` plus fused batch moments.
+
+    The input-side BN-affine epilogue (module note above
+    ``_fwd_kernel_bnin_st``): ``x`` is the PREVIOUS conv's raw output,
+    ``(a, b)`` the per-channel train-mode BN affine from
+    ``models/resnet.py::BNAffine`` — the normalized activation is computed
+    in VMEM and never written to HBM. Returns ``(y, s1, s2)`` with the same
+    moment contract as :func:`reflect_conv3x3_stats` (for the FOLLOWING
+    BN). Gradients flow to x, a, b, and w.
+    """
+    w9 = w.reshape(9, w.shape[2], w.shape[3])
+    y, st = _fwd_call_bnin_st(x, a, b, w9, _should_interpret())
+    return y, st[0], st[1]
+
+
+def _vjp_fwd_bnin(x, a, b, w):
+    w9 = w.reshape(9, w.shape[2], w.shape[3])
+    y, st = _fwd_call_bnin_st(x, a, b, w9, _should_interpret())
+    return (y, st[0], st[1]), (x, a, b, w9, y)
+
+
+def _vjp_bwd_bnin(res, cts):
+    x, a, b, w9, y = res
+    gy, gs1, gs2 = cts
+    gy_eff = (gy.astype(jnp.float32) + gs1[None, None, None, :]
+              + 2.0 * y.astype(jnp.float32) * gs2[None, None, None, :])
+    gy_eff = gy_eff.astype(gy.dtype)
+    interpret = _should_interpret()
+    dx, da, db = _dx_call_bnin(gy_eff, x, a, b, w9, interpret)
+    dw = _dw_call_bnin(x, a, b, gy_eff, interpret).astype(w9.dtype)
+    return (dx, da.astype(a.dtype), db.astype(b.dtype),
+            dw.reshape(3, 3, w9.shape[1], w9.shape[2]))
+
+
+reflect_conv3x3_bnin_stats.defvjp(_vjp_fwd_bnin, _vjp_bwd_bnin)
 
 
 def rconv_supported(H: int, W: int, kernel: int, stride: int,

@@ -70,20 +70,25 @@ class PadConv(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, padding):
+    def __call__(self, x, padding, bn_affine=None):
         w = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (self.kernel, self.kernel, x.shape[-1], self.features),
             jnp.float32)
         xc, wc = x.astype(self.dtype), w.astype(self.dtype)
-        if padding in ("REFLECT_KERNEL", "REFLECT_KERNEL_STATS"):
+        if padding in ("REFLECT_KERNEL", "REFLECT_KERNEL_STATS",
+                       "REFLECT_KERNEL_BNIN_STATS"):
             # fused Pallas reflect conv (ops/rconv_kernel.py): reflect
             # indexing in VMEM, no HBM pad copy, hand VJP. The _STATS mode
             # additionally returns the per-channel BN moments (y, s1, s2)
-            # reduced in VMEM — callers gate it on rconv_kernel_routes so
-            # it can only be requested where the kernel path is live.
-            from videowalk_tpu.ops.rconv_kernel import (reflect_conv3x3,
-                                                        reflect_conv3x3_stats)
+            # reduced in VMEM; _BNIN_STATS also applies the PRECEDING BN's
+            # affine + relu to the input block in VMEM (bn_affine=(a, b)
+            # f32 from models/resnet.py::BNAffine). Callers gate both on
+            # rconv_kernel_routes so they can only be requested where the
+            # kernel path is live.
+            from videowalk_tpu.ops.rconv_kernel import (
+                reflect_conv3x3, reflect_conv3x3_bnin_stats,
+                reflect_conv3x3_stats)
 
             algo = os.environ.get("VIDEOWALK_RCONV_ALGO", "flat")
             if algo != "flat":
@@ -94,6 +99,9 @@ class PadConv(nn.Module):
                     f"VIDEOWALK_RCONV_ALGO={algo!r}: only 'flat' exists "
                     f"(rowpad was measured a loser and pruned; see "
                     f"rconv_kernel.py docstring / git history)")
+            if padding == "REFLECT_KERNEL_BNIN_STATS":
+                a, b = bn_affine
+                return reflect_conv3x3_bnin_stats(xc, a, b, wc)
             if padding == "REFLECT_KERNEL_STATS":
                 return reflect_conv3x3_stats(xc, wc)
             return reflect_conv3x3(xc, wc)

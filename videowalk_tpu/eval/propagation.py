@@ -702,4 +702,10 @@ def propagate_labels_bucketed(
         temperature=temperature, radius=radius, blocked=blocked,
         backend=backend, tile=tile, topk_form=topk_form, mesh=mesh,
         data_axis=data_axis)
-    return np.asarray(preds)[:n_targets, ..., :n_lbl]
+    # Slice the bucket padding off ON DEVICE before the host fetch: the
+    # padded stack is 2.1x the real bytes at DAVIS geometry (labels 4->8,
+    # targets 60->64), and the prediction fetch dominates the per-video
+    # fixed cost through a remote tunnel (430 ms of a 552 ms fixed cost
+    # for 13.1 MB — tools/decompose_prop_gap.py, round 5). Exact: padded
+    # channels are identically zero and padded target rows idempotent.
+    return np.asarray(preds[:n_targets, ..., :n_lbl])

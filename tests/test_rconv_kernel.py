@@ -29,6 +29,7 @@ def _rand(shape, seed):
     (2, 16, 16, 8, 8),     # layer1-like
     (9, 8, 8, 4, 16),      # batch vs small channels
     (17, 8, 8, 8, 8),      # batch not divisible by the tile
+    (2, 32, 32, 4, 8),     # 256px superpixel-mode layer3/4 geometry
 ])
 def test_forward_matches_oracle(N, H, W, cin, cout):
     x = _rand((N, H, W, cin), 0)
@@ -298,3 +299,32 @@ def test_bnin_stats_variant_matches_oracle():
     for name, kk, oo in zip(("dx", "da", "db", "dw"), gk, go):
         np.testing.assert_allclose(np.asarray(kk), np.asarray(oo),
                                    rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_kernel_route_gate_shape_knobs(monkeypatch):
+    """rconv_kernel_routes auto-gate: 8x8 interiors only by default;
+    ALLOW16/ALLOW32 each admit exactly their geometry (interior + min_c
+    constraints intact). Backend pinned to 'tpu' so the gate logic itself
+    is what's tested on the CPU suite."""
+    from videowalk_tpu.ops import reflect_conv as rc
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    for var in ("VIDEOWALK_RCONV", "VIDEOWALK_RCONV_MIN_C",
+                "VIDEOWALK_RCONV_ALLOW16", "VIDEOWALK_RCONV_ALLOW32"):
+        monkeypatch.delenv(var, raising=False)
+
+    assert rc.rconv_kernel_routes(8, 8, 512, 512)
+    assert not rc.rconv_kernel_routes(8, 8, 256, 512)   # channel-changing
+    assert not rc.rconv_kernel_routes(8, 8, 256, 256)   # below min_c
+    assert not rc.rconv_kernel_routes(16, 16, 512, 512)
+    assert not rc.rconv_kernel_routes(32, 32, 512, 512)
+
+    monkeypatch.setenv("VIDEOWALK_RCONV_ALLOW32", "1")
+    assert rc.rconv_kernel_routes(32, 32, 512, 512)
+    assert not rc.rconv_kernel_routes(32, 32, 256, 256)  # min_c still holds
+    assert not rc.rconv_kernel_routes(16, 16, 512, 512)  # 16 needs ALLOW16
+    monkeypatch.setenv("VIDEOWALK_RCONV_MIN_C", "256")
+    assert rc.rconv_kernel_routes(32, 32, 256, 256)
+
+    monkeypatch.setenv("VIDEOWALK_RCONV", "off")
+    assert not rc.rconv_kernel_routes(8, 8, 512, 512)

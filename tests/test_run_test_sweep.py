@@ -97,6 +97,10 @@ def test_sweep_full_happy_path_subprocess(tmp_path):
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
     # newest-model auto-pick: model_1 (newer mtime), never model_0
     names = os.listdir(out_dir)
+    # sweep_summary.json: the per-combo J&F record run_test writes since
+    # round 4 (the artifact the reference's sweep never produces)
+    assert "sweep_summary.json" in names, names
+    names = [n for n in names if n != "sweep_summary.json"]
     assert sorted(names) == sorted([
         "model_1_L3_K3_T0.05_R6.0", "model_1_L3_K5_T0.05_R6.0",
         "other_L3_K3_T0.05_R6.0", "other_L3_K5_T0.05_R6.0"]), names

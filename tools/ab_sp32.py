@@ -1,0 +1,86 @@
+"""A/B: route the 32x32 layer3/4 interiors through the rconv kernel at the
+superpixel config (VIDEOWALK_RCONV_ALLOW32).
+
+The auto gate routes only 8x8 interiors — the geometry the flagship
+measurements covered (ops/reflect_conv.py::rconv_kernel_routes). At the
+superpixel config of record (256px whole images, tools/bench_sp.py),
+layer3/4 run 32x32 — a shape ``rconv_supported`` covers but no measurement
+ever has. This tool times the sp (and optionally sp_dil) step same-process
+under:
+
+  base      — auto gates (no kernel routing at 256px; BN fuse inert)
+  a32       — ALLOW32=1: layer4 32x32x512 interiors through the kernel,
+              which also arms the BN-stats/input-affine fusion chain there
+              (models/resnet.py gates share rconv_kernel_routes)
+  a32_c256  — + MIN_C=256: layer3 32x32x256 interiors too
+  base2     — auto again (A/B/A drift check)
+
+Each variant builds its OWN traced step with the env applied first (the
+gates are trace-time), then the k2-k1 difference quotient with float-fetch
+sync (CLAUDE.md measurement rules). Verdict goes to STATUS.md + the gate
+docstring; adoption would widen the auto gate to 32x32, deletion follows
+the round-5 pruning policy (ALLOW32 is one `or` clause, not a dead branch).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+VARIANTS = [
+    ("base", {}),
+    ("a32", {"VIDEOWALK_RCONV_ALLOW32": "1"}),
+    ("a32_c256", {"VIDEOWALK_RCONV_ALLOW32": "1",
+                  "VIDEOWALK_RCONV_MIN_C": "256"}),
+    ("base2", {}),
+]
+_KNOBS = ("VIDEOWALK_RCONV_ALLOW32", "VIDEOWALK_RCONV_MIN_C")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", default="sp", choices=("sp", "sp_dil"))
+    ap.add_argument("--k1", type=int, default=2)
+    ap.add_argument("--k2", type=int, default=12)
+    ap.add_argument("--rounds", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/videowalk_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+    print("# devices:", jax.devices(), flush=True)
+
+    import bench_sp
+
+    results = {}
+    for name, env in VARIANTS:
+        for k in _KNOBS:
+            os.environ.pop(k, None)
+        os.environ.update(env)
+        ms = bench_sp.time_variant(args.variant, args.k1, args.k2,
+                                   args.rounds)
+        results[name] = [round(m, 2) for m in ms]
+        print(json.dumps({"variant": name, "env": env,
+                          "step_ms": results[name],
+                          "mean_ms": round(float(np.mean(ms)), 2)}),
+              flush=True)
+
+    print(json.dumps({k: round(float(np.mean(v)), 2)
+                      for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()

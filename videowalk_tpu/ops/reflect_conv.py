@@ -266,8 +266,11 @@ def rconv_kernel_routes(H: int, W: int, C: int, features: int,
     winning layer4 interiors; 256 would add the layer3 interiors (A/B'd
     full-step before any default change — the layer4-conv1 widening trap
     in rconv_kernel.py's docstring). VIDEOWALK_RCONV_ALLOW16=1 additionally
-    admits 16x16 interiors (layer1); keeps the interior-only and min_c
-    constraints so an A/B can widen one axis at a time.
+    admits 16x16 interiors (layer1); VIDEOWALK_RCONV_ALLOW32=1 admits
+    32x32 interiors — the layer3/4 geometry at 256px inputs (superpixel
+    mode), which the 8x8-flagship per-conv measurements never covered.
+    Both keep the interior-only and min_c constraints so an A/B can widen
+    one axis at a time.
     """
     rmode = os.environ.get("VIDEOWALK_RCONV", "auto")
     if rmode not in ("on", "auto"):
@@ -280,7 +283,10 @@ def rconv_kernel_routes(H: int, W: int, C: int, features: int,
         return True
     min_c = int(os.environ.get("VIDEOWALK_RCONV_MIN_C", "512"))
     allow16 = os.environ.get("VIDEOWALK_RCONV_ALLOW16", "") not in ("", "0")
-    shape_ok = (H == 8 and W == 8) or (allow16 and H == 16 and W == 16)
+    allow32 = os.environ.get("VIDEOWALK_RCONV_ALLOW32", "") not in ("", "0")
+    shape_ok = ((H == 8 and W == 8)
+                or (allow16 and H == 16 and W == 16)
+                or (allow32 and H == 32 and W == 32))
     # interior convs only (C == features): the channel-changing first convs
     # measured as full-step regressions even when winning in isolation
     return (shape_ok and C >= min_c and C == features
@@ -304,7 +310,11 @@ def reflect_conv2d(x: jax.Array, conv, kernel: int, stride: int,
     if pad == 0:
         return conv(x, "VALID")
     B, H, W, C = x.shape
-    if rconv_kernel_routes(H, W, C, conv.features, kernel, stride, pad):
+    # Kernel routing needs the PadConv calling convention (REFLECT_KERNEL is
+    # a PadConv mode); bare-function convs (oracle fixtures) skip it.
+    features = getattr(conv, "features", None)
+    if features is not None and rconv_kernel_routes(
+            H, W, C, features, kernel, stride, pad):
         return conv(x, "REFLECT_KERNEL")
     fuse = _fuse_mode()
     if fuse == "dots" and kernel == 3 and stride == 1 and pad == 1 \

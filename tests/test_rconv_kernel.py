@@ -302,10 +302,11 @@ def test_bnin_stats_variant_matches_oracle():
 
 
 def test_kernel_route_gate_shape_knobs(monkeypatch):
-    """rconv_kernel_routes auto-gate: 8x8 interiors only by default;
-    ALLOW16/ALLOW32 each admit exactly their geometry (interior + min_c
-    constraints intact). Backend pinned to 'tpu' so the gate logic itself
-    is what's tested on the CPU suite."""
+    """rconv_kernel_routes auto-gate: 8x8 and 32x32 interiors by default
+    (32x32 = the measured sp-config winner, tools/ab_sp32.py); ALLOW32=0
+    kills it, ALLOW16 opts 16x16 in (interior + min_c constraints intact
+    throughout). Backend pinned to 'tpu' so the gate logic itself is what's
+    tested on the CPU suite."""
     from videowalk_tpu.ops import reflect_conv as rc
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
@@ -314,17 +315,21 @@ def test_kernel_route_gate_shape_knobs(monkeypatch):
         monkeypatch.delenv(var, raising=False)
 
     assert rc.rconv_kernel_routes(8, 8, 512, 512)
+    assert rc.rconv_kernel_routes(32, 32, 512, 512)     # default-on winner
     assert not rc.rconv_kernel_routes(8, 8, 256, 512)   # channel-changing
     assert not rc.rconv_kernel_routes(8, 8, 256, 256)   # below min_c
-    assert not rc.rconv_kernel_routes(16, 16, 512, 512)
-    assert not rc.rconv_kernel_routes(32, 32, 512, 512)
-
-    monkeypatch.setenv("VIDEOWALK_RCONV_ALLOW32", "1")
-    assert rc.rconv_kernel_routes(32, 32, 512, 512)
-    assert not rc.rconv_kernel_routes(32, 32, 256, 256)  # min_c still holds
+    assert not rc.rconv_kernel_routes(32, 32, 256, 256)  # min_c at 32 too
     assert not rc.rconv_kernel_routes(16, 16, 512, 512)  # 16 needs ALLOW16
+
+    monkeypatch.setenv("VIDEOWALK_RCONV_ALLOW32", "0")   # kill switch
+    assert not rc.rconv_kernel_routes(32, 32, 512, 512)
+    assert rc.rconv_kernel_routes(8, 8, 512, 512)
+    monkeypatch.delenv("VIDEOWALK_RCONV_ALLOW32")
+
     monkeypatch.setenv("VIDEOWALK_RCONV_MIN_C", "256")
     assert rc.rconv_kernel_routes(32, 32, 256, 256)
+    monkeypatch.setenv("VIDEOWALK_RCONV_ALLOW16", "1")
+    assert rc.rconv_kernel_routes(16, 16, 512, 512)
 
     monkeypatch.setenv("VIDEOWALK_RCONV", "off")
     assert not rc.rconv_kernel_routes(8, 8, 512, 512)

@@ -17,9 +17,15 @@ under:
 
 Each variant builds its OWN traced step with the env applied first (the
 gates are trace-time), then the k2-k1 difference quotient with float-fetch
-sync (CLAUDE.md measurement rules). Verdict goes to STATUS.md + the gate
-docstring; adoption would widen the auto gate to 32x32, deletion follows
-the round-5 pruning policy (ALLOW32 is one `or` clause, not a dead branch).
+sync (CLAUDE.md measurement rules).
+
+VERDICT (v5e, 2026-08-20, three same-process A/B/As): a32 WINS and is
+ADOPTED as the auto default — sp 25.12-25.21 vs base 25.41-25.68 ms
+(~1.4%), sp_dil 32.49 vs 32.87-32.93; every a32 round beat every base
+round. a32_c256 (layer3 too) split across runs (25.16 best / 25.28 mid) —
+NEUTRAL, min_c stays 512. The 8x8 flagship lesson ("layer3 routing loses
+in-context") does NOT transfer to 32x32: M=1024 rows/image fill the MXU
+where 8x8's M=64 ran K=256 starved.
 """
 
 from __future__ import annotations
@@ -35,12 +41,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# ALLOW32 defaults ON since adoption (2026-08-20 A/Bs below); "base" is
+# the kernel-off point via the kill switch.
 VARIANTS = [
-    ("base", {}),
+    ("base", {"VIDEOWALK_RCONV_ALLOW32": "0"}),
     ("a32", {"VIDEOWALK_RCONV_ALLOW32": "1"}),
     ("a32_c256", {"VIDEOWALK_RCONV_ALLOW32": "1",
                   "VIDEOWALK_RCONV_MIN_C": "256"}),
-    ("base2", {}),
+    ("base2", {"VIDEOWALK_RCONV_ALLOW32": "0"}),
 ]
 _KNOBS = ("VIDEOWALK_RCONV_ALLOW32", "VIDEOWALK_RCONV_MIN_C")
 

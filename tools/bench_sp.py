@@ -202,7 +202,9 @@ def main():
         "sp_dil_over_patch": round(dil_speedup, 2),
         "device": str(jax.devices()[0]),
         "history": {"r1": {"patch": 117, "sp": 225, "sp_dil": 82},
-                    "r2": {"sp": 214.7, "sp_dil": 178.0}},
+                    "r2": {"sp": 214.7, "sp_dil": 178.0},
+                    "r5_pre_allow32": {"patch": 131.9, "sp": 234.6,
+                                       "sp_dil": 182.1}},
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)

@@ -266,11 +266,17 @@ def rconv_kernel_routes(H: int, W: int, C: int, features: int,
     winning layer4 interiors; 256 would add the layer3 interiors (A/B'd
     full-step before any default change — the layer4-conv1 widening trap
     in rconv_kernel.py's docstring). VIDEOWALK_RCONV_ALLOW16=1 additionally
-    admits 16x16 interiors (layer1); VIDEOWALK_RCONV_ALLOW32=1 admits
-    32x32 interiors — the layer3/4 geometry at 256px inputs (superpixel
-    mode), which the 8x8-flagship per-conv measurements never covered.
-    Both keep the interior-only and min_c constraints so an A/B can widen
-    one axis at a time.
+    admits 16x16 interiors (layer1). 32x32 interiors — the layer3/4
+    geometry at 256px inputs (superpixel mode), which the 8x8-flagship
+    per-conv measurements never covered — route by DEFAULT: measured a
+    consistent winner at the sp config of record (tools/ab_sp32.py, v5e
+    2026-08-20, three same-process A/B/As: sp 25.12 vs 25.41-25.68 ms,
+    sp_dil 32.49 vs 32.87-32.93 — M=1024 rows/image fill the MXU where
+    8x8's M=64 could not); VIDEOWALK_RCONV_ALLOW32=0 is the kill switch.
+    MIN_C=256 at 32x32 (layer3 routing) measured NEUTRAL (25.16/25.28
+    split across runs) — min_c stays 512. All knobs keep the
+    interior-only and min_c constraints so an A/B can widen one axis at
+    a time.
     """
     rmode = os.environ.get("VIDEOWALK_RCONV", "auto")
     if rmode not in ("on", "auto"):
@@ -283,7 +289,7 @@ def rconv_kernel_routes(H: int, W: int, C: int, features: int,
         return True
     min_c = int(os.environ.get("VIDEOWALK_RCONV_MIN_C", "512"))
     allow16 = os.environ.get("VIDEOWALK_RCONV_ALLOW16", "") not in ("", "0")
-    allow32 = os.environ.get("VIDEOWALK_RCONV_ALLOW32", "") not in ("", "0")
+    allow32 = os.environ.get("VIDEOWALK_RCONV_ALLOW32", "1") != "0"
     shape_ok = ((H == 8 and W == 8)
                 or (allow16 and H == 16 and W == 16)
                 or (allow32 and H == 32 and W == 32))
